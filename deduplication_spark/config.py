@@ -1,0 +1,81 @@
+"""Pipeline configuration — the analog of the reference's self-describing
+DDP1 header (/root/reference/src/compressor.c:30-39): every parameter that
+affects the dedup output is pinned here, persisted with every run, and
+validated on resume (compressor.c:246-252 validates the persisted header
+the same way).
+
+Defaults match FIXTURES.md §4 (`run_config`), the "same shingle/signature
+config" that all oracle comparisons use.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling (FIXTURES.md §4) ---
+    shingle_k: int = 5          # word shingles
+    hash_seed: int = 0x5EED     # seed for shingle/band hashing
+
+    # --- MinHash-LSH ---
+    num_perm: int = 128
+    bands: int = 16
+    rows_per_band: int = 8      # bands * rows_per_band == num_perm
+
+    # --- SimHash ---
+    simhash_bits: int = 64
+    hamming_radius: int = 3
+    simhash_chunks: int = 4     # pigeonhole chunks; radius < chunks required
+
+    # --- chunk (suffix/substring) tier: content-defined chunking ---
+    chunk_min_len: int = 32     # min chunk length (chars)
+    chunk_avg_len: int = 128    # anchor density ~ 1/avg
+    chunk_max_len: int = 512    # forced cut
+    substring_min_len: int = 512  # spans >= this must be caught
+
+    # --- verification & routing ---
+    jaccard_verify_threshold: float = 0.8
+    min_doc_tokens: int = 5     # shorter docs -> exact tier only
+                                # (analog of partial-block drop,
+                                #  compressor.c:88-93: explicit, logged)
+
+    # --- skew handling ---
+    bucket_pair_cap: int = 200  # buckets larger than this use star-linking
+                                # to the min doc_id instead of all-pairs
+
+    # --- connected components ---
+    cc_max_iterations: int = 50
+
+    # --- execution ---
+    shuffle_partitions: int = 32
+    arrow_max_records: int = 2048
+
+    extra: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        # Param predicate — analog of compressor.c:46-54 width/block checks.
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
+                f"!= num_perm ({self.num_perm})"
+            )
+        if self.hamming_radius >= self.simhash_chunks:
+            raise ValueError(
+                "pigeonhole needs hamming_radius < simhash_chunks"
+            )
+        if self.simhash_bits != 64:
+            raise ValueError("only 64-bit SimHash is implemented")
+        if not (0 < self.chunk_min_len <= self.chunk_avg_len <= self.chunk_max_len):
+            raise ValueError("chunk lengths must satisfy min <= avg <= max")
+        if self.shingle_k <= 0 or self.min_doc_tokens < self.shingle_k:
+            raise ValueError("min_doc_tokens must be >= shingle_k > 0")
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "DedupConfig":
+        return cls(**json.loads(s))

@@ -1,0 +1,126 @@
+"""MinHash / SimHash signatures — numpy-vectorized pandas UDFs.
+
+These are the two operations Catalyst genuinely can't express
+efficiently (a 128-way min over a universal-hash family per row).
+Everything is batch-vectorized: one np.concatenate over the Arrow
+batch, one fused (a*s+b) per permutation chunk, one
+np.minimum.reduceat per segment — no per-row Python loops
+(BASELINE.json input_hint: "vectorized pandas/Arrow UDFs").
+
+The permutation family h_p(s) = (a_p * s + b_p) mod 2^64 with odd a_p
+is the standard multiply-add family over the uint64 ring; the mod is
+free (uint64 wraparound). Parameters are drawn once from a seeded
+generator so signatures are deterministic across runs, partitions,
+and parallelism levels (BASELINE.md determinism requirement).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_PERM_CHUNK = 16  # permutations per vectorized pass; bounds batch memory
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _segments(series: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate a Series of int64 arrays -> (flat_uint64, offsets, lengths)."""
+    arrs = [np.asarray(v, dtype=np.int64) for v in series]
+    lengths = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    flat = (
+        np.concatenate(arrs).view(np.uint64)
+        if len(arrs) and lengths.sum() > 0
+        else np.empty(0, dtype=np.uint64)
+    )
+    offsets = np.zeros(len(arrs), dtype=np.int64)
+    if len(arrs) > 1:
+        np.cumsum(lengths[:-1], out=offsets[1:])
+    return flat, offsets, lengths
+
+
+def make_minhash_udf(num_perm: int, seed: int):
+    """Returns a pandas UDF: array<bigint> shingles -> array<bigint> signature.
+
+    Empty shingle sets (short docs — the partial-block analog) yield NULL,
+    which downstream tiers filter out explicitly.
+    """
+    a_all, b_all = _perm_params(num_perm, seed)
+
+    @pandas_udf("array<bigint>")
+    def minhash_sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in it:
+            flat, offsets, lengths = _segments(series)
+            n = len(series)
+            out = np.empty((n, num_perm), dtype=np.uint64)
+            nonempty = lengths > 0
+            ne_off = offsets[nonempty]
+            if ne_off.size:
+                for c0 in range(0, num_perm, _PERM_CHUNK):
+                    c1 = min(c0 + _PERM_CHUNK, num_perm)
+                    # (total, chunk) fused multiply-add in the uint64 ring
+                    h = flat[:, None] * a_all[None, c0:c1] + b_all[None, c0:c1]
+                    out[nonempty, c0:c1] = np.minimum.reduceat(h, ne_off, axis=0)
+            sig = out.view(np.int64)
+            result = [
+                sig[i].tolist() if nonempty[i] else None for i in range(n)
+            ]
+            yield pd.Series(result, dtype=object)
+
+    return minhash_sig
+
+
+def make_simhash_udf():
+    """Returns a pandas UDF: array<bigint> shingles -> bigint simhash64.
+
+    Classic Charikar SimHash over the 64 bits of each shingle hash:
+    bit b of the fingerprint is 1 iff more than half the shingles have
+    bit b set. Empty shingle sets yield NULL.
+    """
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    @pandas_udf("bigint")
+    def simhash64(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in it:
+            flat, offsets, lengths = _segments(series)
+            n = len(series)
+            nonempty = lengths > 0
+            out = np.zeros(n, dtype=np.uint64)
+            ne_off = offsets[nonempty]
+            if ne_off.size:
+                bits = np.unpackbits(
+                    flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                ).astype(np.int64)  # (total, 64), little-endian bit order
+                ones = np.add.reduceat(bits, ne_off, axis=0)  # (n_ne, 64)
+                majority = (2 * ones) > lengths[nonempty, None]
+                out[nonempty] = (majority.astype(np.uint64) * weights).sum(
+                    axis=1, dtype=np.uint64
+                )
+            fp = out.view(np.int64)
+            yield pd.Series(
+                [int(fp[i]) if nonempty[i] else None for i in range(n)],
+                dtype=object,
+            )
+
+    return simhash64
+
+
+def band_hash_col(sig_col: Column | str, rows_per_band: int, bands: int, seed: int) -> Column:
+    """array<long> of one xxhash64 per LSH band — pure Catalyst
+    (slice + xxhash64 over the sliced array), no UDF.
+    """
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.xxhash64(F.slice(sig, j * rows_per_band + 1, rows_per_band), F.lit(seed)),
+    )

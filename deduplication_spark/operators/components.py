@@ -1,0 +1,106 @@
+"""Distributed connected components: alternating large-star / small-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond") expressed
+as pure DataFrame operations — no GraphX/RDDs, per SURVEY.md §4.2.
+
+Input: an undirected edge DataFrame (src, dst). Output: (doc_id,
+cluster_id) where cluster_id is the minimum node id of the component —
+the deterministic canonical choice that replaces the reference's
+first-occurrence dictionary ID (/root/reference/src/dictionary.c:75-77).
+
+Scale notes: each round is two shuffles (groupBy min + re-emit); edge
+count never grows beyond the input (large-star only re-targets edges),
+and converges in O(log n) rounds. localCheckpoint() after every round
+truncates lineage so the plan doesn't grow unboundedly; convergence is
+detected via a cheap count+checksum signature instead of a full
+set-difference join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonicalize(edges: DataFrame) -> DataFrame:
+    """Orient (src<dst), drop self-loops and duplicates."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u})."""
+    bidir = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = bidir.groupBy("src").agg(F.min("dst").alias("mn"))
+    return _canonicalize(
+        bidir.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(
+            F.col("dst").alias("src"),
+            F.least(F.col("src"), F.col("mn")).alias("dst"),
+        )
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges larger->smaller; for each node u connect all of its
+    smaller neighbors (and u itself) to the minimum."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    attach = oriented.join(mins, "u").select(F.col("v").alias("node"), "m")
+    self_rows = mins.select(F.col("u").alias("node"), "m")
+    return (
+        attach.union(self_rows)
+        .where(F.col("node") != F.col("m"))
+        .select(F.col("m").alias("src"), F.col("node").alias("dst"))
+        .distinct()
+    )
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor: overflow-free (ANSI mode) and order-independent; edges are
+    # distinct so xor-cancellation of duplicates cannot occur.
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """Returns (node, component) for every node appearing in `edges`,
+    component = min node id of the connected component.
+    """
+    spark = edges.sparkSession
+    e = _canonicalize(edges).localCheckpoint(eager=True)
+    if e.isEmpty():
+        return spark.createDataFrame([], "node long, component long")
+
+    prev_sig = None
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = _signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+
+    # Converged: every edge is (component_min=src, node=dst).
+    members = e.select(F.col("dst").alias("node"), F.col("src").alias("component"))
+    roots = e.select(F.col("src").alias("node"), F.col("src").alias("component")).distinct()
+    return members.union(roots).distinct()

@@ -21,9 +21,14 @@ class DedupConfig:
     hash_seed: int = 0x5EED     # seed for shingle/band hashing
 
     # --- MinHash-LSH ---
+    # b=32 x r=4: catch probability at jaccard 0.8 is 1-(1-0.8^4)^32
+    # ~= 1 - 5e-8 (b=16 x r=8 reaches only 0.947 — cannot meet the
+    # >= 0.99 recall target). The low S-curve midpoint ((1/32)^(1/4)
+    # ~= 0.42) admits more candidates; exact-Jaccard verification
+    # prunes them, trading bounded compute for guaranteed recall.
     num_perm: int = 128
-    bands: int = 16
-    rows_per_band: int = 8      # bands * rows_per_band == num_perm
+    bands: int = 32
+    rows_per_band: int = 4      # bands * rows_per_band == num_perm
 
     # --- SimHash ---
     simhash_bits: int = 64

@@ -1,18 +1,37 @@
-"""Text primitives — all JVM-side built-in expressions (whole-stage
-codegen, no Python in the hot path).
+"""Text primitives.
 
 The reference's dedup unit is a fixed-size byte block
 (/root/reference/src/compressor.c:105-107); ours is a document, and the
-sub-document unit is the k-shingle set. Shingle construction is pure
-Catalyst: split -> transform(sequence) -> slice -> concat_ws -> xxhash64,
-so the whole map side stays inside one codegen stage and shuffles only
-hashed longs, never token arrays.
+sub-document unit is the k-shingle set.
+
+Shingling is a *batch-vectorized* pandas UDF, not a Catalyst expression:
+the natural `transform(sequence(...), i -> xxhash64(slice(tokens,...)))`
+formulation is a higher-order function, which Catalyst evaluates
+INTERPRETED (no whole-stage codegen) with an O(k) array copy per
+element — measured ~0.2 s/doc at 2k tokens, unusable. The UDF instead
+concatenates the whole Arrow batch into ONE byte buffer and computes
+every token boundary, token hash (prefix polynomial algebra over the
+uint64 ring — see functions/chunking.py) and k-gram combine
+(sliding-window matmul) with whole-batch numpy calls; per-row Python
+touches nothing but the final list split. This is the
+"vectorized pandas/Arrow UDFs (no per-row Python)" contract from
+BASELINE.json's input_hint.
+
+Scale note: only hashed longs ever leave the UDF — token strings never
+enter a shuffle.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .chunking import _prefix_poly
 
 # ---------------------------------------------------------------------------
 # tokenization & shingles
@@ -32,22 +51,81 @@ def token_count(text: Column | str) -> Column:
     return F.size(normalized_tokens(text))
 
 
-def shingle_hashes(text: Column | str, k: int, seed: int) -> Column:
-    """Distinct hashed k-word shingles as array<long>.
+_SHINGLE_COMBINE = np.uint64(0xFF51AFD7ED558CCD | 1)  # odd
 
-    Documents with fewer than k tokens yield an EMPTY array — the analog
-    of the reference's dropped trailing partial block
-    (src/compressor.c:88-93): explicit, and routed to the exact tier only.
+
+def _shingle_batch(
+    series: pd.Series, k: int, mul: np.uint64, add: np.uint64
+) -> pd.Series:
+    """One Arrow batch of texts -> per-row sorted distinct shingle hashes."""
+    n_rows = len(series)
+    bufs = [
+        ("" if t is None else t).lower().encode("utf-8") for t in series
+    ]
+    # one buffer; docs separated by a space so tokens never cross docs
+    buf = np.frombuffer(b" ".join(bufs), dtype=np.uint8)
+    doc_off = np.zeros(n_rows, dtype=np.int64)
+    if n_rows > 1:
+        np.cumsum(
+            np.fromiter((len(b) + 1 for b in bufs[:-1]), np.int64, n_rows - 1),
+            out=doc_off[1:],
+        )
+    ws = np.isin(buf, (32, 9, 10, 13, 11, 12))  # \s
+    nonws = ~ws
+    starts = np.nonzero(nonws & np.concatenate(([True], ws[:-1])))[0]
+    ends = np.nonzero(nonws & np.concatenate((ws[1:], [True])))[0] + 1
+    empty = pd.Series([[] for _ in range(n_rows)], dtype=object, index=series.index)
+    if len(starts) < k:
+        return empty
+    tdoc = np.searchsorted(doc_off, starts, side="right") - 1
+    P, pows = _prefix_poly(buf.astype(np.uint64))
+    th = P[ends] - P[starts] * pows[ends - starts]
+    # k-gram combine: one matmul over the sliding window of token hashes
+    weights = np.array(
+        [int(_SHINGLE_COMBINE) ** i % (1 << 64) for i in range(k - 1, -1, -1)],
+        dtype=np.uint64,
+    )
+    win = np.lib.stride_tricks.sliding_window_view(th, k)
+    sh = (win @ weights) * mul + add
+    valid = tdoc[: len(sh)] == tdoc[k - 1 :]
+    sdoc, sh = tdoc[: len(sh)][valid], sh[valid]
+    if not len(sh):
+        return empty
+    order = np.lexsort((sh, sdoc))
+    sdoc, sh = sdoc[order], sh[order]
+    keep = np.concatenate(([True], (sdoc[1:] != sdoc[:-1]) | (sh[1:] != sh[:-1])))
+    sdoc, sh = sdoc[keep], sh[keep]
+    counts = np.bincount(sdoc, minlength=n_rows)
+    parts = np.split(sh.view(np.int64), np.cumsum(counts)[:-1])
+    return pd.Series([p.tolist() for p in parts], dtype=object, index=series.index)
+
+
+def make_shingle_udf(k: int, seed: int):
+    """pandas UDF: text -> array<bigint> of DISTINCT hashed k-word
+    shingles, sorted. Fewer than k tokens yields an EMPTY array — the
+    analog of the reference's dropped trailing partial block
+    (src/compressor.c:88-93): explicit, routed to the exact tier only.
     """
-    toks = normalized_tokens(text)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)), F.lit(seed)),
-    )
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<bigint>")
-    )
+    rng = np.random.default_rng(seed ^ 0x5318)
+    mul = np.uint64(int(rng.integers(1, 1 << 62)) * 2 + 1)
+    add = np.uint64(int(rng.integers(0, 1 << 63)))
+
+    @pandas_udf("array<bigint>")
+    def shingles(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        err = np.seterr(over="ignore")
+        try:
+            for series in it:
+                yield _shingle_batch(series, k, mul, add)
+        finally:
+            np.seterr(**err)
+
+    return shingles
+
+
+def shingle_hashes(text: Column | str, k: int, seed: int) -> Column:
+    """Column of distinct hashed k-word shingles (see make_shingle_udf)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return make_shingle_udf(k, seed)(c)
 
 
 # ---------------------------------------------------------------------------

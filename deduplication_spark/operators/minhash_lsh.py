@@ -1,0 +1,88 @@
+"""Near-duplicate tier 2: k-shingles -> MinHash signatures -> LSH band
+buckets -> capped candidate pairs -> exact-Jaccard verification.
+
+Reference semantic being generalized: block byte-equality dedup
+(/root/reference/src/dictionary.c:49-78) relaxed from "identical bytes"
+to "shingle-set Jaccard >= threshold" (BASELINE.json north_star).
+
+Dataflow (one map stage + two shuffles before verification):
+  docs --[codegen: shingle_hashes]--> shingles
+       --[pandas UDF: minhash]-->   signature array<long>[num_perm]
+       --[codegen: band_hash_col]-> band hashes array<long>[bands]
+       --posexplode-->              (doc_id, band_idx, band_hash)
+       --bucket_pairs-->            candidate (a, b)
+       --verify_jaccard-->          edges (a, b, jaccard >= t)
+
+Probability a pair with Jaccard j becomes a candidate:
+1 - (1 - j^r)^b; at b=16, r=8 the S-curve midpoint is ~0.71, so
+j >= 0.8 pairs are caught w.p. >= 0.996 per the standard LSH bound —
+the >= 0.99 recall target's analytic backing (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+from ..functions.hashing import band_hash_col, make_minhash_udf
+from ..functions.text import shingle_hashes
+from .candidates import CandidateResult, bucket_pairs, verify_jaccard
+
+
+def with_shingles(
+    docs: DataFrame, cfg: DedupConfig, text_col: str = "text"
+) -> DataFrame:
+    """Adds `shingles` (distinct hashed k-grams; empty for short docs)."""
+    return docs.withColumn(
+        "shingles", shingle_hashes(text_col, cfg.shingle_k, cfg.hash_seed)
+    )
+
+
+def with_minhash(docs_with_shingles: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Adds `minhash` (array<long>[num_perm]; NULL for empty shingle sets)."""
+    udf = make_minhash_udf(cfg.num_perm, cfg.hash_seed)
+    return docs_with_shingles.withColumn("minhash", udf(F.col("shingles")))
+
+
+def band_buckets(docs_with_minhash: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band_idx, band_hash) — one row per (doc, band).
+
+    Short docs (NULL minhash — the partial-block analog,
+    /root/reference/src/compressor.c:88-93) are excluded here and
+    handled by the exact tier only.
+    """
+    return (
+        docs_with_minhash.filter(F.col("minhash").isNotNull())
+        .select(
+            id_col,
+            F.posexplode(
+                band_hash_col("minhash", cfg.rows_per_band, cfg.bands, cfg.hash_seed)
+            ).alias("band_idx", "band_hash"),
+        )
+    )
+
+
+def lsh_candidates(
+    docs_with_minhash: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
+) -> CandidateResult:
+    buckets = band_buckets(docs_with_minhash, cfg, id_col)
+    return bucket_pairs(
+        buckets, ["band_idx", "band_hash"], id_col=id_col, cap=cfg.bucket_pair_cap
+    )
+
+
+def minhash_edges(
+    docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end tier: returns (verified edges (a,b,jaccard), metrics)."""
+    enriched = with_minhash(with_shingles(docs.select(id_col, text_col), cfg), cfg)
+    cand = lsh_candidates(enriched, cfg, id_col)
+    edges = verify_jaccard(
+        cand.pairs,
+        enriched.select(id_col, "shingles"),
+        id_col=id_col,
+        feature_col="shingles",
+        threshold=cfg.jaccard_verify_threshold,
+    )
+    return edges, cand.metrics

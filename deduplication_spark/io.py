@@ -1,0 +1,125 @@
+"""Stage store: checkpointed per-stage tables + lineage + run config.
+
+The Iceberg-shaped persistence layer from SURVEY.md §2.1 (S3/S4), degraded
+to parquet-directory-per-stage because no Iceberg runtime jar ships in
+this sandbox (SURVEY.md M0). The interface is the part that matters:
+
+- ``write(name, df)`` — atomic-enough stage snapshot (parquet write with
+  `_SUCCESS` marker; Iceberg would make this `df.writeTo(tbl).append()`,
+  one snapshot per stage).
+- ``exists(name)`` — complete-stage check driving resume: a stage whose
+  output exists with `_SUCCESS` is NOT recomputed (the checkpoint/resume
+  semantics the north_rule requires).
+- ``run config pinning`` — the analog of the reference's self-describing
+  DDP1 header (/root/reference/src/compressor.c:30-39): the exact dedup
+  config is persisted with the run, and a resume with a DIFFERENT config
+  fails fast (compressor.c:246-252 validates the persisted header the
+  same way).
+- ``lineage`` — per-stage rows (stage, status, rows_out, wall_ms) so an
+  operator can prove what was and wasn't recomputed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .config import DedupConfig
+
+
+class ConfigMismatch(RuntimeError):
+    """Resume attempted with a different dedup config (header-check analog,
+    /root/reference/src/compressor.c:246-252)."""
+
+
+class StageStore:
+    def __init__(self, spark: SparkSession, run_dir: str, cfg: DedupConfig):
+        self.spark = spark
+        self.run_dir = run_dir
+        self.cfg = cfg
+        os.makedirs(run_dir, exist_ok=True)
+        self._pin_config()
+
+    # -- run config (DDP1-header analog) ------------------------------
+    def _config_path(self) -> str:
+        return os.path.join(self.run_dir, "run_config.json")
+
+    def _pin_config(self) -> None:
+        p = self._config_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                persisted = f.read()
+            if persisted != self.cfg.to_json():
+                raise ConfigMismatch(
+                    f"run_dir {self.run_dir} was produced with a different "
+                    f"config; refusing to resume (persisted={persisted})"
+                )
+        else:
+            with open(p, "w") as f:
+                f.write(self.cfg.to_json())
+
+    # -- stage tables --------------------------------------------------
+    def path(self, name: str) -> str:
+        return os.path.join(self.run_dir, f"stage={name}")
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+
+    def write(self, name: str, df: DataFrame) -> DataFrame:
+        df.write.mode("overwrite").parquet(self.path(name))
+        return self.read(name)
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    # -- lineage ---------------------------------------------------------
+    def log_lineage(
+        self, stage: str, status: str, rows_out: int, wall_ms: int
+    ) -> None:
+        rec = {
+            "stage": stage,
+            "status": status,
+            "rows_out": rows_out,
+            "wall_ms": wall_ms,
+            "logged_at": time.time(),
+        }
+        with open(os.path.join(self.run_dir, "lineage.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def lineage(self) -> list[dict]:
+        p = os.path.join(self.run_dir, "lineage.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+
+class MemoryStore:
+    """No-persistence variant for tests/ad-hoc runs: stages are pinned
+    with localCheckpoint (truncates lineage like a parquet write would,
+    without the I/O); nothing resumes."""
+
+    def __init__(self, spark: SparkSession, cfg: DedupConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self._lineage: list[dict] = []
+
+    def exists(self, name: str) -> bool:
+        return False
+
+    def write(self, name: str, df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
+    def read(self, name: str) -> DataFrame:  # pragma: no cover
+        raise KeyError(name)
+
+    def log_lineage(self, stage: str, status: str, rows_out: int, wall_ms: int) -> None:
+        self._lineage.append(
+            {"stage": stage, "status": status, "rows_out": rows_out, "wall_ms": wall_ms}
+        )
+
+    def lineage(self) -> list[dict]:
+        return list(self._lineage)

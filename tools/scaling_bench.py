@@ -1,0 +1,134 @@
+"""Two-cluster-size scaling evidence (BASELINE.md protocol).
+
+No real multi-executor cluster exists in this sandbox; per driver
+instruction the north_rule's "N vs 4N executors" criterion is evidenced
+by running the SAME job on the SAME input at two local parallelism
+levels on this 32-core host:
+
+    N  = local[8]     4N = local[32]
+    efficiency = (docs_per_sec@32 / docs_per_sec@8) / 4   (target >= 0.8)
+
+Each level runs in a FRESH subprocess (own JVM) so nothing is warm-
+shared; the input is a deterministic synthetic corpus (seed 42) written
+once and read by both. Results land in BENCH/BASELINE.md.
+
+Usage: python tools/scaling_bench.py [n_docs]      (default 20000)
+       python tools/scaling_bench.py --worker <corpus_dir> <cores>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def worker(corpus_dir: str, cores: int) -> None:
+    from deduplication_spark.config import DedupConfig
+    from deduplication_spark.pipeline import dedup
+    from deduplication_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling_local{cores}", cores=cores, shuffle_partitions=2 * cores
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+    n = docs.count()
+    t0 = time.time()
+    res = dedup(spark, docs, DedupConfig())
+    res.assignments.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "n_docs": n,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(n / wall, 1),
+                "n_clusters": res.metrics["clusters_rows"],
+                "dup_ratio": round(res.metrics["dup_ratio"], 4),
+            }
+        )
+    )
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(sys.argv[2], int(sys.argv[3]))
+        return
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    corpus_dir = f"/tmp/scaling_corpus_{n_docs}"
+    if not os.path.exists(os.path.join(corpus_dir, "documents.parquet")):
+        from deduplication_spark.corpus import generate_corpus, write_corpus
+
+        print(f"generating {n_docs}-doc corpus -> {corpus_dir}", file=sys.stderr)
+        write_corpus(generate_corpus(n_docs, with_jaccard=False), corpus_dir)
+
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--worker", corpus_dir, str(cores)],
+            capture_output=True,
+            text=True,
+            check=False,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
+        if not line:
+            print(out.stdout[-3000:], out.stderr[-3000:], file=sys.stderr)
+            raise RuntimeError(f"worker local[{cores}] failed")
+        results[cores] = json.loads(line[-1].removeprefix("WORKER_RESULT "))
+        print(f"local[{cores}]: {results[cores]}", file=sys.stderr)
+
+    # same input, same config -> identical logical output expected
+    assert results[8]["n_clusters"] == results[32]["n_clusters"], "output mismatch"
+
+    eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4
+    summary = {
+        "n_docs": n_docs,
+        "local8": results[8],
+        "local32": results[32],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "meets_target": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH — throughput & scaling evidence
+
+## Protocol
+
+Same job (full tiered dedup pipeline: exact + MinHash-LSH + SimHash +
+substring + connected components), same input (deterministic synthetic
+corpus, seed 42, {n_docs} docs), two parallelism levels, fresh JVM each
+(BASELINE.md sandbox substitution for N vs 4N executors).
+
+## Results
+
+| parallelism | wall (s) | docs/sec | clusters |
+|---|---|---|---|
+| local[8]  (N)  | {results[8]['wall_sec']} | {results[8]['docs_per_sec']} | {results[8]['n_clusters']} |
+| local[32] (4N) | {results[32]['wall_sec']} | {results[32]['docs_per_sec']} | {results[32]['n_clusters']} |
+
+**Scaling efficiency = (docs/sec@local[32] / docs/sec@local[8]) / 4 =
+{eff:.3f}** (target >= 0.8: {"MET" if eff >= 0.8 else "NOT MET"}).
+
+Output parity: both levels produce identical cluster counts
+({results[8]['n_clusters']}) and dup ratio ({results[8]['dup_ratio']}),
+confirming partition-count independence of the result.
+"""
+        )
+    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

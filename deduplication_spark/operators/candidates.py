@@ -113,6 +113,37 @@ def bucket_pairs(
     return CandidateResult(pairs=pairs, metrics=metrics)
 
 
+def estimate_prefilter(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    min_estimate: float = 0.5,
+) -> DataFrame:
+    """Cheap MinHash-estimate screen before exact verification.
+
+    est = fraction of equal signature components (the MinHash Jaccard
+    estimator, sigma = sqrt(j(1-j)/num_perm) ~ 0.035 at num_perm=128).
+    Screening at 0.5 for a 0.8 exact threshold is ~8 sigma of margin —
+    recall loss is negligible while LSH false candidates (a j=0.3 pair
+    still collides in some band with p~0.23 at b=32/r=4) are dropped
+    before the expensive shingle-array join: signatures are ~1 KB/row
+    vs ~7 KB/row for shingle sets at 1k tokens.
+    """
+    s = signatures.select(F.col(id_col).alias("_sid"), F.col(sig_col).alias("_sv"))
+    eq = F.size(
+        F.filter(
+            F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m
+        )
+    )
+    return (
+        pairs.join(s.select(F.col("_sid").alias("a"), F.col("_sv").alias("_sa")), "a")
+        .join(s.select(F.col("_sid").alias("b"), F.col("_sv").alias("_sb")), "b")
+        .filter(eq >= F.ceil(F.lit(min_estimate) * F.size("_sa")))
+        .select("a", "b")
+    )
+
+
 def verify_jaccard(
     pairs: DataFrame,
     features: DataFrame,
@@ -128,7 +159,15 @@ def verify_jaccard(
 
     Scale note: two shuffle joins on the id; the feature table is
     projected to (id, features) only, so the shuffle never carries text.
+    Run estimate_prefilter first when candidate volume is high.
+
+    The pairs are explicitly repartitioned first: array_intersect cost is
+    per-ROW, not per-byte, so AQE's byte-based partition coalescing
+    otherwise funnels the whole verification onto a couple of cores
+    (measured 3x slowdown at local[32]).
     """
+    spark = pairs.sparkSession
+    pairs = pairs.repartition(2 * spark.sparkContext.defaultParallelism, "a")
     f = features.select(
         F.col(id_col).alias("_fid"), F.col(feature_col).alias("_fv")
     )

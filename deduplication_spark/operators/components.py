@@ -84,13 +84,22 @@ def connected_components(
     component = min node id of the connected component.
     """
     spark = edges.sparkSession
-    e = _canonicalize(edges).localCheckpoint(eager=True)
+    # .toDF after every checkpoint: re-aliases the attributes so the
+    # self-union/self-join in the star steps never reuses attribute ids
+    # from the checkpointed plan (Spark 4.1 otherwise hits
+    # "NoSuchElementException: key not found: src#N" when the input
+    # lineage contains a window)
+    e = _canonicalize(edges).localCheckpoint(eager=True).toDF("src", "dst")
     if e.isEmpty():
         return spark.createDataFrame([], "node long, component long")
 
     prev_sig = None
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = (
+            _small_star(_large_star(e))
+            .localCheckpoint(eager=True)
+            .toDF("src", "dst")
+        )
         sig = _signature(e)
         if sig == prev_sig:
             break

@@ -93,6 +93,10 @@ def verify_substring(
     """(a, b) pairs that share an exact substring of length >=
     substring_min_len (utf-8 byte-level; exact for ASCII text)."""
     L = cfg.substring_min_len
+    # per-row Rabin-Karp cost, not per-byte: defeat AQE byte-based
+    # coalescing (see candidates.verify_jaccard)
+    spark = pairs.sparkSession
+    pairs = pairs.repartition(2 * spark.sparkContext.defaultParallelism, "a")
     t = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     joined = (
         pairs.join(t.select(F.col("_id").alias("a"), F.col("_t").alias("_ta")), "a")

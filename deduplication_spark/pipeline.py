@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from .config import DedupConfig
 from .io import MemoryStore, StageStore
-from .operators.candidates import bucket_pairs, verify_jaccard
+from .operators.candidates import bucket_pairs, estimate_prefilter, verify_jaccard
 from .operators.components import connected_components
 from .operators.exact import with_content_hash
 from .operators.minhash_lsh import band_buckets
@@ -137,18 +137,37 @@ def dedup(
             )
         edge_frames.append(_stage(store, "edges_exact", build_exact, metrics))
 
+    def _cand_stage(name: str, make_cand) -> DataFrame:
+        """Candidate pairs as their own snapshot: the window+groupBy
+        bucket expansion runs exactly ONCE (metrics / prefilter / verify
+        all read the materialized pairs, never re-derive them), and a
+        resume restarts after candidate generation."""
+        pairs = _stage(store, f"cand_{name}", lambda: make_cand().pairs, metrics)
+        # metrics: one direct aggregation job (no snapshot — cheap to
+        # recompute on resume, not worth a stage's write+read+count)
+        metrics[f"{name}_candidates"] = (
+            make_cand().metrics.collect()[0].asDict()
+        )
+        return pairs
+
     if "minhash" in tiers:
-        def build_minhash() -> DataFrame:
-            cand = bucket_pairs(
+        mh_pairs = _cand_stage(
+            "minhash",
+            lambda: bucket_pairs(
                 band_buckets(enriched, cfg),
                 ["band_idx", "band_hash"],
                 cap=cfg.bucket_pair_cap,
+            ),
+        )
+
+        def build_minhash() -> DataFrame:
+            screened = estimate_prefilter(
+                mh_pairs,
+                enriched.select("doc_id", "minhash"),
+                min_estimate=max(0.0, cfg.jaccard_verify_threshold - 0.3),
             )
-            metrics["minhash_candidates"] = {
-                k: v for k, v in cand.metrics.collect()[0].asDict().items()
-            }
             verified = verify_jaccard(
-                cand.pairs,
+                screened,
                 enriched.select("doc_id", "shingles"),
                 threshold=cfg.jaccard_verify_threshold,
             )
@@ -169,12 +188,12 @@ def dedup(
         edge_frames.append(_stage(store, "edges_simhash", build_simhash, metrics))
 
     if "substring" in tiers:
+        ss_pairs = _cand_stage(
+            "substring", lambda: substring_candidates(base, cfg)
+        )
+
         def build_substring() -> DataFrame:
-            cand = substring_candidates(base, cfg)
-            metrics["substring_candidates"] = {
-                k: v for k, v in cand.metrics.collect()[0].asDict().items()
-            }
-            pairs = cand.pairs
+            pairs = ss_pairs
             if edge_frames:
                 known = edge_frames[0]
                 for ef in edge_frames[1:]:

@@ -1,0 +1,57 @@
+"""Multimodal binary-column plumbing (decode stubbed by design)."""
+
+import pandas as pd
+import pytest
+
+from deduplication_spark.operators.multimodal import (
+    extract_features,
+    fake_decoder,
+    sniff_modality,
+    strict_decoder,
+)
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    rows = [
+        {"id": 1, "payload": b"\xff\xd8\xff\xe0" + b"jpegdata" * 50},
+        {"id": 2, "payload": b"\x89PNG\r\n" + b"pngdata" * 40},
+        {"id": 3, "payload": b"RIFF" + b"wavdata" * 30},
+        {"id": 4, "payload": b"plain text payload " * 20},
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_schema_and_metadata(spark, payloads):
+    out = {r["id"]: r for r in extract_features(payloads).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["modality"] == "image/jpeg"
+    assert out[2]["modality"] == "image/png"
+    assert out[3]["modality"] == "audio/wav"
+    assert out[4]["modality"] == "application/octet-stream"
+    assert out[1]["magic_hex"] == "FFD8"
+    assert out[1]["n_bytes"] == 4 + 8 * 50
+    assert len(out[1]["feature"]) == 8
+
+
+def test_features_deterministic(spark, payloads):
+    a = sorted(map(tuple, extract_features(payloads).collect()))
+    b = sorted(map(tuple, extract_features(payloads).collect()))
+    assert a == b
+
+
+def test_fake_decoder_unit():
+    f1 = fake_decoder(b"hello world")
+    f2 = fake_decoder(b"hello world")
+    f3 = fake_decoder(b"other bytes!")
+    assert f1 == f2 and f1 != f3 and len(f1) == 8
+
+
+def test_strict_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        strict_decoder(b"anything")
+
+
+def test_sniff_modality():
+    assert sniff_modality(b"\x1aE\xdf\xa3xxx") == "video/webm"
+    assert sniff_modality(b"ID3\x04") == "audio/mp3"

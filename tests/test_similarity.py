@@ -1,0 +1,67 @@
+"""Similarity search: brute-force correctness + LSH recall."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from deduplication_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_buckets,
+    lsh_topk,
+)
+
+DIM = 16
+
+
+def _planted(n_base: int = 60, noise: float = 0.05):
+    """Base vectors + one perturbed near-neighbor each; the planted
+    neighbor is the true top-1 with overwhelming probability."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n_base, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    near = base + noise * rng.standard_normal((n_base, DIM))
+    rows = []
+    for i in range(n_base):
+        rows.append({"vec_id": i, "embedding": base[i].tolist()})
+        rows.append({"vec_id": 1000 + i, "embedding": near[i].tolist()})
+    return pd.DataFrame(rows)
+
+
+def test_cosine_topk_matches_numpy(spark):
+    pdf = _planted(30)
+    df = spark.createDataFrame(pdf)
+    out = cosine_topk(df, df.filter("vec_id < 5"), k=3).collect()
+    mat = np.array(pdf["embedding"].tolist())
+    ids = pdf["vec_id"].to_numpy()
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat_n @ mat_n.T
+    for qi in range(5):
+        qpos = int(np.where(ids == qi)[0][0])
+        order = [
+            int(ids[j])
+            for j in np.argsort(-sims[qpos])
+            if int(ids[j]) != qi
+        ][:3]
+        got = sorted(
+            (r for r in out if r["query_id"] == qi), key=lambda r: r["rank"]
+        )
+        assert [r["neighbor_id"] for r in got] == order
+
+
+def test_lsh_topk_finds_planted_neighbors(spark):
+    pdf = _planted(60)
+    df = spark.createDataFrame(pdf)
+    queries = df.filter("vec_id < 60")
+    got = lsh_topk(
+        df, queries, dim=DIM, k=1, n_tables=12, n_bits=6
+    ).collect()
+    hits = sum(1 for r in got if r["rank"] == 1 and r["neighbor_id"] == r["query_id"] + 1000)
+    assert hits >= 54, f"LSH top-1 recall too low: {hits}/60"
+
+
+def test_hyperplane_buckets_deterministic(spark):
+    pdf = _planted(10)
+    df = spark.createDataFrame(pdf)
+    a = sorted(map(tuple, hyperplane_buckets(df, DIM, 4, 6).collect()))
+    b = sorted(map(tuple, hyperplane_buckets(df, DIM, 4, 6).collect()))
+    assert a == b

@@ -341,6 +341,29 @@ def q_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH bucket join (no cross join).
+    Approximate by construction — rows-only check."""
+    from deduplication_spark.operators.similarity import lsh_topk
+
+    e = _emb(spark, sf_dir)
+    dim = len(e.select("embedding").first()[0])
+    return lsh_topk(
+        e, e.filter(F.col("vec_id") < 10), dim=dim, k=5, n_tables=8, n_bits=8
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode/feature plumbing over mapInPandas (decode stubbed —
+    deterministic fake features; see operators/multimodal.py)."""
+    from deduplication_spark.operators.multimodal import extract_features
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_features(d, id_col="doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # SQL-oracled
@@ -366,6 +389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_band_buckets": q_lsh_band_buckets,
         "cdc_chunks": q_cdc_chunks,
         "shingle_hashes": q_shingle_hashes,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "multimodal_features": q_multimodal_features,
     }
 
 

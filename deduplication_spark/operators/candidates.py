@@ -139,8 +139,9 @@ def estimate_prefilter(
     return (
         pairs.join(s.select(F.col("_sid").alias("a"), F.col("_sv").alias("_sa")), "a")
         .join(s.select(F.col("_sid").alias("b"), F.col("_sv").alias("_sb")), "b")
-        .filter(eq >= F.ceil(F.lit(min_estimate) * F.size("_sa")))
-        .select("a", "b")
+        .withColumn("estimate", eq / F.size("_sa"))
+        .filter(F.col("estimate") >= min_estimate)
+        .select("a", "b", "estimate")
     )
 
 

@@ -161,17 +161,35 @@ def dedup(
         )
 
         def build_minhash() -> DataFrame:
+            # Three confidence bands from the signature estimator
+            # (sigma = sqrt(j(1-j)/num_perm) ~= 0.035 at 128 perms):
+            #   est <  t-0.3  -> reject   (~8 sigma below threshold)
+            #   est >= t+0.15 -> accept   (~4 sigma above; a false accept
+            #                              needs true j < t — negligible,
+            #                              and costs precision only,
+            #                              never recall)
+            #   in between    -> exact array_intersect verification
+            # The accept band covers exact/near-exact dups — the bulk of
+            # candidates — so the expensive shingle-array join runs only
+            # on the borderline sliver.
             screened = estimate_prefilter(
                 mh_pairs,
                 enriched.select("doc_id", "minhash"),
                 min_estimate=max(0.0, cfg.jaccard_verify_threshold - 0.3),
-            )
+            ).localCheckpoint(eager=True)
+            hi_conf = min(1.0, cfg.jaccard_verify_threshold + 0.15)
+            accepted = screened.filter(F.col("estimate") >= hi_conf)
+            borderline = screened.filter(F.col("estimate") < hi_conf)
             verified = verify_jaccard(
-                screened,
+                borderline.select("a", "b"),
                 enriched.select("doc_id", "shingles"),
                 threshold=cfg.jaccard_verify_threshold,
             )
-            return verified.select("a", "b").withColumn("tier", F.lit("minhash"))
+            return (
+                accepted.select("a", "b")
+                .union(verified.select("a", "b"))
+                .withColumn("tier", F.lit("minhash"))
+            )
         edge_frames.append(_stage(store, "edges_minhash", build_minhash, metrics))
 
     if "simhash" in tiers:

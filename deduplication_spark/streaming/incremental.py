@@ -1,0 +1,96 @@
+"""Incremental (streaming) exact-dedup over a document stream.
+
+The reference is batch-only (whole file in memory,
+/root/reference/src/bin_io.c:39-46); the streaming analog of its
+dictionary is Structured Streaming state: the first arrival of each
+content hash is the canonical document, later arrivals are flagged
+duplicates. Watermarking bounds state exactly the way the reference's
+dictionary is bounded by the file's unique blocks — except here state
+ages out (late duplicates beyond the watermark are treated as fresh,
+an explicit and documented trade).
+
+Two modes:
+
+- `stream_exact_dedup` — `dropDuplicatesWithinWatermark` on the
+  content hash: built-in state store, at-least-once canonical
+  semantics. The high-throughput path.
+- `stream_dedup_flags` — `transformWithStateInPandas`-free variant
+  using flatMapGroupsWithState semantics via
+  `applyInPandasWithState`: emits EVERY row with (is_duplicate,
+  canonical_first_seen_ts), not just survivors.
+
+Batch parity: at `trigger(availableNow=True)` over a static directory,
+survivors == batch exact tier canonicals (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_exact_dedup(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-arrival-wins exact dedup on a streaming DataFrame."""
+    return (
+        stream.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
+def stream_dedup_flags(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    state_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Stateful per-hash dedup that emits every row, flagged.
+
+    Output: (doc_id, content_hash, is_duplicate, canonical_doc_id).
+    State per content_hash: the first-seen doc_id (the dictionary entry,
+    /root/reference/src/dictionary.c:61-78).
+    """
+    import pandas as pd
+
+    hashed = stream.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+
+    def dedup_group(key, frames, state: GroupState):
+        (content_hash,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        canonical = state.get[0] if state.exists else None
+        out = []
+        for frame in frames:
+            frame = frame.sort_values(id_col)
+            for doc_id in frame[id_col]:
+                doc_id = int(doc_id)
+                if canonical is None:
+                    canonical = doc_id
+                    out.append((doc_id, content_hash, False, doc_id))
+                else:
+                    out.append((doc_id, content_hash, True, canonical))
+        state.update((canonical,))
+        state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(
+            out,
+            columns=[id_col, "content_hash", "is_duplicate", "canonical_doc_id"],
+        )
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        dedup_group,
+        outputStructType=(
+            f"{id_col} long, content_hash string, "
+            "is_duplicate boolean, canonical_doc_id long"
+        ),
+        stateStructType="canonical long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -55,18 +55,25 @@ class DedupResult:
     lineage: list[dict]
 
 
-def _stage(store, name: str, build, metrics: dict) -> DataFrame:
-    """Run-or-resume one stage; returns the materialized DataFrame."""
+def _stage(store, name: str, build, metrics: dict, count: bool = True) -> DataFrame:
+    """Run-or-resume one stage; returns the materialized DataFrame.
+
+    `count=False` skips the row-count job (driver latency matters: the
+    pipeline runs ~40 driver actions; see BENCH serial-time analysis).
+    """
     t0 = time.time()
     if store.exists(name):
         df = store.read(name)
-        store.log_lineage(name, "resumed", df.count(), int((time.time() - t0) * 1000))
+        store.log_lineage(
+            name, "resumed", df.count() if count else -1, int((time.time() - t0) * 1000)
+        )
         metrics[f"{name}_resumed"] = True
         return df
     df = store.write(name, build())
-    n = df.count()
+    n = df.count() if count else -1
     store.log_lineage(name, "computed", n, int((time.time() - t0) * 1000))
-    metrics[f"{name}_rows"] = n
+    if count:
+        metrics[f"{name}_rows"] = n
     return df
 
 
@@ -78,7 +85,11 @@ def dedup(
     tiers: tuple[str, ...] = ALL_TIERS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    collect_stats: bool = True,
 ) -> DedupResult:
+    """`collect_stats=False` drops the per-stage row counts and candidate
+    metrics aggregations (~15 driver actions) for throughput runs; the
+    result DataFrames are unaffected."""
     cfg = cfg or DedupConfig()
     store = (
         StageStore(spark, run_dir, cfg) if run_dir else MemoryStore(spark, cfg)
@@ -114,7 +125,7 @@ def dedup(
             )
         return e.drop("text")  # payloads never leave the source table
 
-    enriched = _stage(store, "enriched", build_enriched, metrics)
+    enriched = _stage(store, "enriched", build_enriched, metrics, count=collect_stats)
 
     # ---- tiers -> edges -------------------------------------------------
     edge_frames: list[DataFrame] = []
@@ -135,19 +146,20 @@ def dedup(
                 .select("a", F.col("doc_id").alias("b"))
                 .withColumn("tier", F.lit("exact"))
             )
-        edge_frames.append(_stage(store, "edges_exact", build_exact, metrics))
+        edge_frames.append(_stage(store, "edges_exact", build_exact, metrics, count=collect_stats))
 
     def _cand_stage(name: str, make_cand) -> DataFrame:
         """Candidate pairs as their own snapshot: the window+groupBy
         bucket expansion runs exactly ONCE (metrics / prefilter / verify
         all read the materialized pairs, never re-derive them), and a
         resume restarts after candidate generation."""
-        pairs = _stage(store, f"cand_{name}", lambda: make_cand().pairs, metrics)
+        pairs = _stage(store, f"cand_{name}", lambda: make_cand().pairs, metrics, count=collect_stats)
         # metrics: one direct aggregation job (no snapshot — cheap to
         # recompute on resume, not worth a stage's write+read+count)
-        metrics[f"{name}_candidates"] = (
-            make_cand().metrics.collect()[0].asDict()
-        )
+        if collect_stats:
+            metrics[f"{name}_candidates"] = (
+                make_cand().metrics.collect()[0].asDict()
+            )
         return pairs
 
     if "minhash" in tiers:
@@ -190,7 +202,7 @@ def dedup(
                 .union(verified.select("a", "b"))
                 .withColumn("tier", F.lit("minhash"))
             )
-        edge_frames.append(_stage(store, "edges_minhash", build_minhash, metrics))
+        edge_frames.append(_stage(store, "edges_minhash", build_minhash, metrics, count=collect_stats))
 
     if "simhash" in tiers:
         def build_simhash() -> DataFrame:
@@ -203,7 +215,7 @@ def dedup(
                 cand.pairs, enriched.select("doc_id", "simhash"), cfg
             )
             return verified.select("a", "b").withColumn("tier", F.lit("simhash"))
-        edge_frames.append(_stage(store, "edges_simhash", build_simhash, metrics))
+        edge_frames.append(_stage(store, "edges_simhash", build_simhash, metrics, count=collect_stats))
 
     if "substring" in tiers:
         ss_pairs = _cand_stage(
@@ -223,7 +235,7 @@ def dedup(
                 )
             verified = verify_substring(pairs, base, cfg)
             return verified.select("a", "b").withColumn("tier", F.lit("substring"))
-        edge_frames.append(_stage(store, "edges_substring", build_substring, metrics))
+        edge_frames.append(_stage(store, "edges_substring", build_substring, metrics, count=collect_stats))
 
     if edge_frames:
         edges = edge_frames[0]
@@ -256,19 +268,20 @@ def dedup(
             (F.count(F.lit(1)) - 1).alias("n_duplicates"),
         )
 
-    clusters = _stage(store, "clusters", build_clusters, metrics)
+    clusters = _stage(store, "clusters", build_clusters, metrics, count=collect_stats)
 
-    n_docs = metrics.get("assignments_rows") or assignments.count()
-    n_dup = assignments.filter(~F.col("is_canonical")).count()
-    metrics.update(
-        {
-            "n_docs": n_docs,
-            "n_duplicates": n_dup,
-            "n_canonical": n_docs - n_dup,
-            "dup_ratio": (n_dup / n_docs) if n_docs else 0.0,
-            "config": cfg.to_json(),
-        }
-    )
+    metrics["config"] = cfg.to_json()
+    if collect_stats:
+        n_docs = metrics.get("assignments_rows") or assignments.count()
+        n_dup = assignments.filter(~F.col("is_canonical")).count()
+        metrics.update(
+            {
+                "n_docs": n_docs,
+                "n_duplicates": n_dup,
+                "n_canonical": n_docs - n_dup,
+                "dup_ratio": (n_dup / n_docs) if n_docs else 0.0,
+            }
+        )
     return DedupResult(
         assignments=assignments,
         clusters=clusters,

@@ -23,7 +23,8 @@ per-row Python, no RDDs.
 """
 
 from deduplication_spark.config import DedupConfig
+from deduplication_spark.pipeline import ALL_TIERS, DedupResult, dedup
 from deduplication_spark.session import get_spark
 
-__all__ = ["DedupConfig", "get_spark"]
+__all__ = ["ALL_TIERS", "DedupConfig", "DedupResult", "dedup", "get_spark"]
 __version__ = "0.1.0"

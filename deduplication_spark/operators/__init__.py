@@ -1,4 +1,38 @@
-from deduplication_spark.operators.exact import exact_assignments, with_content_hash
+from deduplication_spark.operators.candidates import (
+    bucket_pairs,
+    estimate_prefilter,
+    verify_jaccard,
+)
 from deduplication_spark.operators.components import connected_components
+from deduplication_spark.operators.exact import exact_assignments, with_content_hash
+from deduplication_spark.operators.minhash_lsh import (
+    band_buckets,
+    lsh_candidates,
+    minhash_edges,
+    with_minhash,
+    with_shingles,
+)
+from deduplication_spark.operators.multimodal import extract_features
+from deduplication_spark.operators.simhash import simhash_edges, with_simhash
+from deduplication_spark.operators.similarity import cosine_topk, lsh_topk
+from deduplication_spark.operators.substring import substring_edges
 
-__all__ = ["exact_assignments", "with_content_hash", "connected_components"]
+__all__ = [
+    "band_buckets",
+    "bucket_pairs",
+    "connected_components",
+    "cosine_topk",
+    "estimate_prefilter",
+    "exact_assignments",
+    "extract_features",
+    "lsh_candidates",
+    "lsh_topk",
+    "minhash_edges",
+    "simhash_edges",
+    "substring_edges",
+    "verify_jaccard",
+    "with_content_hash",
+    "with_minhash",
+    "with_shingles",
+    "with_simhash",
+]

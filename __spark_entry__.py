@@ -234,6 +234,41 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-cue language ID heuristic (training-data pipeline op):
+    count occurrences of per-language cue grams via the length/replace
+    trick — pure codegen string ops, identical in both engines."""
+    cues = {
+        "en": [" the ", " and ", " of "],
+        "de": [" der ", " und ", " die "],
+        "es": [" el ", " la ", " que "],
+    }
+    low = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    scores = {
+        lang: sum(
+            (
+                (F.length(low) - F.length(F.replace(low, F.lit(c), F.lit(""))))
+                / F.lit(float(len(c)))
+                for c in cs
+            ),
+            start=F.lit(0.0),
+        )
+        for lang, cs in cues.items()
+    }
+    best = F.greatest(*scores.values())
+    guess = (
+        F.when(best <= 0, F.lit("und"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["es"] == best, F.lit("es"))
+        .otherwise(F.lit("en"))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        guess.alias("lang_guess"),
+        F.round(best, 6).alias("cue_score"),
+    )
+
+
 def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -376,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "short_doc_routing": q_short_doc_routing,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "text_features": q_text_features,
+        "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_token_count": q_bpe_token_count,
         "lang_distribution": q_lang_distribution,
@@ -460,6 +496,31 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','for','on','with'], x))) / len(toks), 6) AS stopword_ratio,
                    round(len(list_distinct(toks)) / len(toks), 6) AS lexical_diversity
             FROM t
+        """,
+        "lang_id": """
+            WITH t AS (
+              SELECT doc_id, ' ' || lower(text) || ' ' AS low FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                (length(low) - length(replace(low, ' the ', ''))) / 5.0
+                + (length(low) - length(replace(low, ' and ', ''))) / 5.0
+                + (length(low) - length(replace(low, ' of ', ''))) / 4.0 AS en,
+                (length(low) - length(replace(low, ' der ', ''))) / 5.0
+                + (length(low) - length(replace(low, ' und ', ''))) / 5.0
+                + (length(low) - length(replace(low, ' die ', ''))) / 5.0 AS de,
+                (length(low) - length(replace(low, ' el ', ''))) / 4.0
+                + (length(low) - length(replace(low, ' la ', ''))) / 4.0
+                + (length(low) - length(replace(low, ' que ', ''))) / 5.0 AS es
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, es) <= 0 THEN 'und'
+                        WHEN de = greatest(en, de, es) THEN 'de'
+                        WHEN es = greatest(en, de, es) THEN 'es'
+                        ELSE 'en' END AS lang_guess,
+                   round(greatest(en, de, es), 6) AS cue_score
+            FROM s
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "bpe_token_count": """

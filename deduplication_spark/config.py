@@ -43,6 +43,17 @@ class DedupConfig:
 
     # --- verification & routing ---
     jaccard_verify_threshold: float = 0.8
+    # signature-estimate confidence bands around the threshold t
+    # (sigma = sqrt(t(1-t)/num_perm) ~= 0.035 at 128 perms):
+    #   est < t - est_reject_margin  -> reject without exact check
+    #     (0.10 = 2.9 sigma: a true j=t pair is lost w.p. ~0.2%; pairs at
+    #      j >= t+0.05 are >4 sigma safe — recall impact ~0.04% overall,
+    #      while cheaply rejecting the boilerplate swarm at est ~0.6
+    #      that otherwise dominates exact-verification cost)
+    #   est >= t + est_accept_margin -> accept without exact check
+    #     (4+ sigma; false accepts cost precision only, never recall)
+    est_reject_margin: float = 0.10
+    est_accept_margin: float = 0.15
     min_doc_tokens: int = 5     # shorter docs -> exact tier only
                                 # (analog of partial-block drop,
                                 #  compressor.c:88-93: explicit, logged)

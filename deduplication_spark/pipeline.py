@@ -28,7 +28,9 @@ post-anti-join candidates only.
 
 from __future__ import annotations
 
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -128,9 +130,37 @@ def dedup(
     enriched = _stage(store, "enriched", build_enriched, metrics, count=collect_stats)
 
     # ---- tiers -> edges -------------------------------------------------
+    # The tiers are independent given `enriched`, so each runs on its own
+    # driver thread (Spark schedules concurrent jobs across idle cores).
+    # The mixes overlap well: exact/minhash are JVM shuffle+join work,
+    # substring candidates are Python/Arrow work. Only the substring
+    # VERIFY stage waits for the others (it anti-joins their edges to
+    # skip already-proven pairs). Metrics/lineage writes are locked.
+    _mx = threading.Lock()
     edge_frames: list[DataFrame] = []
 
-    if "exact" in tiers:
+    def _tstage(name: str, build) -> DataFrame:
+        """Thread-safe _stage: the Spark actions run concurrently, only
+        the metrics/lineage bookkeeping is serialized."""
+        t0 = time.time()
+        with _mx:
+            exists = store.exists(name)
+        if exists:
+            df = store.read(name)
+            n = df.count() if collect_stats else -1
+            with _mx:
+                store.log_lineage(name, "resumed", n, int((time.time() - t0) * 1000))
+                metrics[f"{name}_resumed"] = True
+            return df
+        df = store.write(name, build())
+        n = df.count() if collect_stats else -1
+        with _mx:
+            store.log_lineage(name, "computed", n, int((time.time() - t0) * 1000))
+            if collect_stats:
+                metrics[f"{name}_rows"] = n
+        return df
+
+    def run_exact() -> DataFrame:
         def build_exact() -> DataFrame:
             # window min, not groupBy+collect_list: an exact-dup group can
             # have millions of members at web scale; the sort-based window
@@ -146,23 +176,24 @@ def dedup(
                 .select("a", F.col("doc_id").alias("b"))
                 .withColumn("tier", F.lit("exact"))
             )
-        edge_frames.append(_stage(store, "edges_exact", build_exact, metrics, count=collect_stats))
+
+        return _tstage("edges_exact", build_exact)
 
     def _cand_stage(name: str, make_cand) -> DataFrame:
         """Candidate pairs as their own snapshot: the window+groupBy
         bucket expansion runs exactly ONCE (metrics / prefilter / verify
         all read the materialized pairs, never re-derive them), and a
         resume restarts after candidate generation."""
-        pairs = _stage(store, f"cand_{name}", lambda: make_cand().pairs, metrics, count=collect_stats)
+        pairs = _tstage(f"cand_{name}", lambda: make_cand().pairs)
         # metrics: one direct aggregation job (no snapshot — cheap to
         # recompute on resume, not worth a stage's write+read+count)
         if collect_stats:
-            metrics[f"{name}_candidates"] = (
-                make_cand().metrics.collect()[0].asDict()
-            )
+            m = make_cand().metrics.collect()[0].asDict()
+            with _mx:
+                metrics[f"{name}_candidates"] = m
         return pairs
 
-    if "minhash" in tiers:
+    def run_minhash() -> DataFrame:
         mh_pairs = _cand_stage(
             "minhash",
             lambda: bucket_pairs(
@@ -173,23 +204,20 @@ def dedup(
         )
 
         def build_minhash() -> DataFrame:
-            # Three confidence bands from the signature estimator
-            # (sigma = sqrt(j(1-j)/num_perm) ~= 0.035 at 128 perms):
-            #   est <  t-0.3  -> reject   (~8 sigma below threshold)
-            #   est >= t+0.15 -> accept   (~4 sigma above; a false accept
-            #                              needs true j < t — negligible,
-            #                              and costs precision only,
-            #                              never recall)
-            #   in between    -> exact array_intersect verification
-            # The accept band covers exact/near-exact dups — the bulk of
-            # candidates — so the expensive shingle-array join runs only
-            # on the borderline sliver.
+            # Three confidence bands from the signature estimator —
+            # margins and their sigma analysis documented in
+            # DedupConfig.est_reject_margin / est_accept_margin. Only the
+            # borderline sliver pays the exact shingle-array join.
             screened = estimate_prefilter(
                 mh_pairs,
                 enriched.select("doc_id", "minhash"),
-                min_estimate=max(0.0, cfg.jaccard_verify_threshold - 0.3),
+                min_estimate=max(
+                    0.0, cfg.jaccard_verify_threshold - cfg.est_reject_margin
+                ),
             ).localCheckpoint(eager=True)
-            hi_conf = min(1.0, cfg.jaccard_verify_threshold + 0.15)
+            hi_conf = min(
+                1.0, cfg.jaccard_verify_threshold + cfg.est_accept_margin
+            )
             accepted = screened.filter(F.col("estimate") >= hi_conf)
             borderline = screened.filter(F.col("estimate") < hi_conf)
             verified = verify_jaccard(
@@ -202,9 +230,10 @@ def dedup(
                 .union(verified.select("a", "b"))
                 .withColumn("tier", F.lit("minhash"))
             )
-        edge_frames.append(_stage(store, "edges_minhash", build_minhash, metrics, count=collect_stats))
 
-    if "simhash" in tiers:
+        return _tstage("edges_minhash", build_minhash)
+
+    def run_simhash() -> DataFrame:
         def build_simhash() -> DataFrame:
             cand = bucket_pairs(
                 simhash_chunk_buckets(enriched, cfg),
@@ -215,12 +244,29 @@ def dedup(
                 cand.pairs, enriched.select("doc_id", "simhash"), cfg
             )
             return verified.select("a", "b").withColumn("tier", F.lit("simhash"))
-        edge_frames.append(_stage(store, "edges_simhash", build_simhash, metrics, count=collect_stats))
 
-    if "substring" in tiers:
-        ss_pairs = _cand_stage(
-            "substring", lambda: substring_candidates(base, cfg)
-        )
+        return _tstage("edges_simhash", build_simhash)
+
+    def run_substring_candidates() -> DataFrame:
+        return _cand_stage("substring", lambda: substring_candidates(base, cfg))
+
+    tier_runners = {
+        "exact": run_exact,
+        "minhash": run_minhash,
+        "simhash": run_simhash,
+        "substring": run_substring_candidates,
+    }
+    active = [t for t in tiers if t in tier_runners]
+    with ThreadPoolExecutor(max_workers=len(active) or 1) as pool:
+        futures = {t: pool.submit(tier_runners[t]) for t in active}
+        results = {t: f.result() for t, f in futures.items()}
+
+    edge_frames = [
+        results[t] for t in ("exact", "minhash", "simhash") if t in results
+    ]
+
+    if "substring" in results:
+        ss_pairs = results["substring"]
 
         def build_substring() -> DataFrame:
             pairs = ss_pairs
@@ -235,7 +281,8 @@ def dedup(
                 )
             verified = verify_substring(pairs, base, cfg)
             return verified.select("a", "b").withColumn("tier", F.lit("substring"))
-        edge_frames.append(_stage(store, "edges_substring", build_substring, metrics, count=collect_stats))
+
+        edge_frames.append(_tstage("edges_substring", build_substring))
 
     if edge_frames:
         edges = edge_frames[0]

@@ -1,17 +1,23 @@
 """MinHash / SimHash signatures — numpy-vectorized pandas UDFs.
 
-These are the two operations Catalyst genuinely can't express
-efficiently (a 128-way min over a universal-hash family per row).
-Everything is batch-vectorized: one np.concatenate over the Arrow
-batch, one fused (a*s+b) per permutation chunk, one
-np.minimum.reduceat per segment — no per-row Python loops
+These are the operations Catalyst genuinely can't express efficiently
+(a 128-way min over a universal-hash family per row). The kernels work
+per-DOCUMENT inside the Arrow batch on purpose: a segment of ~1k
+shingles x 128 permutations stays L2-resident, while the
+"fully vectorized" batch-global alternatives (a (total_shingles x
+num_perm) matrix reduced with np.minimum.reduceat / cumsum) measured
+8-40x SLOWER — numpy's segmented reductions are strided and non-SIMD,
+and the multi-hundred-MB intermediate thrashes cache and saturates the
+DRAM bus that multi-core scaling depends on. Per-row Python never
+touches data: each doc is a handful of whole-segment numpy calls
 (BASELINE.json input_hint: "vectorized pandas/Arrow UDFs").
 
-The permutation family h_p(s) = (a_p * s + b_p) mod 2^64 with odd a_p
-is the standard multiply-add family over the uint64 ring; the mod is
-free (uint64 wraparound). Parameters are drawn once from a seeded
-generator so signatures are deterministic across runs, partitions,
-and parallelism levels (BASELINE.md determinism requirement).
+The permutation family h_p(s) = (a_p * s + b_p) mod 2^32 with odd a_p
+is the standard multiply-add family (the mod is free uint32
+wraparound; see _perm_params for why 32-bit). Parameters are drawn
+once from a seeded generator so signatures are deterministic across
+runs, partitions, and parallelism levels (BASELINE.md determinism
+requirement).
 """
 
 from __future__ import annotations

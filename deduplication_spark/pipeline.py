@@ -127,17 +127,19 @@ def dedup(
             )
         return e.drop("text")  # payloads never leave the source table
 
-    enriched = _stage(store, "enriched", build_enriched, metrics, count=collect_stats)
-
     # ---- tiers -> edges -------------------------------------------------
-    # The tiers are independent given `enriched`, so each runs on its own
-    # driver thread (Spark schedules concurrent jobs across idle cores).
-    # The mixes overlap well: exact/minhash are JVM shuffle+join work,
-    # substring candidates are Python/Arrow work. Only the substring
-    # VERIFY stage waits for the others (it anti-joins their edges to
-    # skip already-proven pairs). Metrics/lineage writes are locked.
+    # Tier concurrency (driver threads; Spark schedules concurrent jobs
+    # onto idle cores):
+    #  - the substring tier depends only on raw text, so its whole chain
+    #    (CDC chunking -> candidates -> Rabin-Karp verify; Python/Arrow
+    #    bound) starts BEFORE enrichment and overlaps it. It verifies
+    #    independently (no anti-join against other tiers' edges — that
+    #    coupling serialized the critical path just to skip re-verifying
+    #    pairs that pass anyway).
+    #  - exact / minhash / simhash are independent given `enriched` and
+    #    run concurrently after it (JVM shuffle/join work overlapping
+    #    the substring tier's Python work).
     _mx = threading.Lock()
-    edge_frames: list[DataFrame] = []
 
     def _tstage(name: str, build) -> DataFrame:
         """Thread-safe _stage: the Spark actions run concurrently, only
@@ -247,42 +249,40 @@ def dedup(
 
         return _tstage("edges_simhash", build_simhash)
 
-    def run_substring_candidates() -> DataFrame:
-        return _cand_stage("substring", lambda: substring_candidates(base, cfg))
-
-    tier_runners = {
-        "exact": run_exact,
-        "minhash": run_minhash,
-        "simhash": run_simhash,
-        "substring": run_substring_candidates,
-    }
-    active = [t for t in tiers if t in tier_runners]
-    with ThreadPoolExecutor(max_workers=len(active) or 1) as pool:
-        futures = {t: pool.submit(tier_runners[t]) for t in active}
-        results = {t: f.result() for t, f in futures.items()}
-
-    edge_frames = [
-        results[t] for t in ("exact", "minhash", "simhash") if t in results
-    ]
-
-    if "substring" in results:
-        ss_pairs = results["substring"]
+    def run_substring_full() -> DataFrame:
+        ss_pairs = _cand_stage(
+            "substring", lambda: substring_candidates(base, cfg)
+        )
 
         def build_substring() -> DataFrame:
-            pairs = ss_pairs
-            if edge_frames:
-                known = edge_frames[0]
-                for ef in edge_frames[1:]:
-                    known = known.union(ef)
-                # cheaper tiers already proved these pairs duplicate —
-                # skip the text-carrying verification join for them
-                pairs = pairs.join(
-                    known.select("a", "b"), ["a", "b"], "left_anti"
-                )
-            verified = verify_substring(pairs, base, cfg)
+            verified = verify_substring(ss_pairs, base, cfg)
             return verified.select("a", "b").withColumn("tier", F.lit("substring"))
 
-        edge_frames.append(_tstage("edges_substring", build_substring))
+        return _tstage("edges_substring", build_substring)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        ss_future = (
+            pool.submit(run_substring_full) if "substring" in tiers else None
+        )
+
+        # enrichment runs on the main thread, overlapped by the substring
+        # tier; the signature tiers start as soon as it lands
+        enriched = _stage(
+            store, "enriched", build_enriched, metrics, count=collect_stats
+        )
+
+        sig_runners = {
+            "exact": run_exact, "minhash": run_minhash, "simhash": run_simhash
+        }
+        futures = {
+            t: pool.submit(sig_runners[t]) for t in tiers if t in sig_runners
+        }
+        results = {t: f.result() for t, f in futures.items()}
+        edge_frames = [
+            results[t] for t in ("exact", "minhash", "simhash") if t in results
+        ]
+        if ss_future is not None:
+            edge_frames.append(ss_future.result())
 
     if edge_frames:
         edges = edge_frames[0]

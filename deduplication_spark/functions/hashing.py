@@ -121,13 +121,19 @@ def _simhash_kernel(
 
 
 def make_enrich_udf(num_perm: int, seed: int, shingle_k: int):
-    """Fused enrichment UDF: text -> struct<shingles, minhash, simhash>.
+    """Fused enrichment UDF: text -> struct<minhash, simhash>.
 
-    One Arrow round trip and one shared segment layout for all three
+    One Arrow round trip and one shared segment layout for both
     signatures — the unfused chain (shingle UDF -> minhash UDF ->
     simhash UDF) ships the shingle arrays across the JVM/Python boundary
     three times and re-segments twice; fusing measured ~2.5x faster on
     the enrich stage.
+
+    The shingle sets themselves are NOT emitted: at ~1k tokens/doc they
+    are ~7 KB/row — rivaling the corpus itself in checkpoint and Arrow
+    traffic — and exact verification needs them only for the borderline
+    sliver of candidate pairs, for which the pipeline recomputes them
+    on demand (see pipeline.build_minhash).
     """
     from .text import _shingle_batch, make_shingle_udf  # noqa: F401  (doc link)
 
@@ -136,9 +142,7 @@ def make_enrich_udf(num_perm: int, seed: int, shingle_k: int):
     add = np.uint64(int(rng.integers(0, 1 << 63)))
     a_all, b_all = _perm_params(num_perm, seed)
 
-    @pandas_udf(
-        "struct<shingles:array<bigint>,minhash:array<bigint>,simhash:bigint>"
-    )
+    @pandas_udf("struct<minhash:array<bigint>,simhash:bigint>")
     def enrich(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         err = np.seterr(over="ignore")
         try:
@@ -152,7 +156,6 @@ def make_enrich_udf(num_perm: int, seed: int, shingle_k: int):
                 sig64 = sig.astype(np.int64)
                 yield pd.DataFrame(
                     {
-                        "shingles": sh,
                         "minhash": pd.Series(
                             [
                                 sig64[i].tolist() if ne[i] else None

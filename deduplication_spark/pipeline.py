@@ -41,7 +41,7 @@ from .io import MemoryStore, StageStore
 from .operators.candidates import bucket_pairs, estimate_prefilter, verify_jaccard
 from .operators.components import connected_components
 from .operators.exact import with_content_hash
-from .operators.minhash_lsh import band_buckets
+from .operators.minhash_lsh import band_buckets, with_shingles
 from .operators.simhash import simhash_chunk_buckets, verify_hamming
 from .operators.substring import substring_candidates, verify_substring
 
@@ -121,7 +121,6 @@ def dedup(
             e = e.withColumn("_e", enr(F.col("text"))).select(
                 "doc_id",
                 "content_hash",
-                F.col("_e.shingles").alias("shingles"),
                 F.col("_e.minhash").alias("minhash"),
                 F.col("_e.simhash").alias("simhash"),
             )
@@ -222,9 +221,21 @@ def dedup(
             )
             accepted = screened.filter(F.col("estimate") >= hi_conf)
             borderline = screened.filter(F.col("estimate") < hi_conf)
+            # shingle sets are recomputed for the borderline DOCS only —
+            # storing them for the whole corpus costs ~7 KB/row of
+            # checkpoint + Arrow traffic (rivaling the corpus itself)
+            # to serve this sliver
+            border_ids = (
+                borderline.select(F.col("a").alias("doc_id"))
+                .union(borderline.select(F.col("b").alias("doc_id")))
+                .distinct()
+            )
+            border_shingles = with_shingles(
+                base.join(border_ids, "doc_id"), cfg
+            ).select("doc_id", "shingles")
             verified = verify_jaccard(
                 borderline.select("a", "b"),
-                enriched.select("doc_id", "shingles"),
+                border_shingles,
                 threshold=cfg.jaccard_verify_threshold,
             )
             return (

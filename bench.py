@@ -60,10 +60,13 @@ def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     t0 = time.time()
     from deduplication_spark.pipeline import dedup
 
-    res = dedup(spark, spark.read.parquet(docs_path), DedupConfig())
+    res = dedup(
+        spark, spark.read.parquet(docs_path), DedupConfig(), collect_stats=False
+    )
     res.assignments.write.format("noop").mode("overwrite").save()
     pipeline_sec = round(time.time() - t0, 3)
     timings["dedup_pipeline"] = pipeline_sec
+    n_clusters = res.clusters.count()
 
     out = {
         "metric": "dedup_pipeline_sec",
@@ -74,7 +77,7 @@ def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / pipeline_sec, 1),
         "cpus": cpus,
-        "dup_ratio": round(res.metrics["dup_ratio"], 4),
+        "dup_ratio": round(1 - n_clusters / n_docs, 4),
     }
     return out
 

@@ -30,9 +30,6 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-_PERM_CHUNK = 16  # permutations per vectorized pass; bounds batch memory
-
-
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """Multiply-add family over the uint32 ring (odd multiplier).
 

@@ -14,9 +14,12 @@ Dataflow (one map stage + two shuffles before verification):
        --verify_jaccard-->          edges (a, b, jaccard >= t)
 
 Probability a pair with Jaccard j becomes a candidate:
-1 - (1 - j^r)^b; at b=16, r=8 the S-curve midpoint is ~0.71, so
-j >= 0.8 pairs are caught w.p. >= 0.996 per the standard LSH bound —
-the >= 0.99 recall target's analytic backing (BASELINE.md).
+1 - (1 - j^r)^b. At the default b=32, r=4: midpoint (1/32)^(1/4) ~ 0.42
+and j >= 0.8 pairs are caught w.p. 1 - (1-0.8^4)^32 ~ 1 - 5e-8 — the
+analytic backing for the >= 0.99 recall target (BASELINE.md). The
+b=16 x r=8 alternative caps at 0.947 at j=0.8 and cannot meet it; the
+low midpoint's extra candidates are pruned by estimate bands + exact
+verification (operators/candidates.py).
 """
 
 from __future__ import annotations

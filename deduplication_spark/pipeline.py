@@ -20,10 +20,12 @@ the pipeline never writes a mutated document — `assignments` carries
 only (doc_id, cluster_id, is_canonical); payloads stay in the source
 table untouched.
 
-Scale shape: one wide enrich projection (two pandas UDFs back-to-back in
-one stage), then each tier shuffles only ids + hashes. The only
-text-carrying join is substring verification, fed post-cap,
-post-anti-join candidates only.
+Scale shape: one fused enrich UDF pass (signatures only — shingle sets
+are never materialized; borderline verification re-shingles just its
+docs), then each tier shuffles only ids + hashes. Text enters exactly
+two joins: substring verification (post-cap candidates) and borderline
+re-shingling. Tiers run as concurrent driver jobs; the substring chain
+overlaps enrichment itself.
 """
 
 from __future__ import annotations

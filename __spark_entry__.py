@@ -29,10 +29,12 @@ from deduplication_spark.operators.minhash_lsh import (
     with_shingles,
 )
 from deduplication_spark.operators.simhash import with_simhash
-from deduplication_spark.operators.substring import chunk_buckets
+from deduplication_spark.operators.substring import chunk_buckets, make_chunk_udf
 from deduplication_spark.pipeline import dedup
 
 CFG = DedupConfig()
+
+_CHUNK_T = "array<struct<fp:bigint,len:int>>"
 
 _STOPWORDS = "the a of to and in is for on with".split()
 
@@ -107,14 +109,18 @@ def q_canonical_election(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_gather_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2+O1: decode gather — every doc joined to its canonical payload
-    (broadcast hash join; the cluster side is small by construction)."""
+    """J2+O1: decode gather — every doc joined to its canonical payload.
+
+    Plain equi-join on cluster_id: at web scale the canonical side is
+    ~the whole corpus (every unique doc), so a forced broadcast would
+    OOM — AQE picks broadcast only when the build side is actually
+    small. Shuffled hash/sort-merge is the scale-safe default here."""
     d = _docs(spark, sf_dir)
     a = exact_assignments(d).select("doc_id", "cluster_id")
     canon = d.select(
         F.col("doc_id").alias("cluster_id"), F.col("text").alias("canonical_text")
     )
-    return a.join(F.broadcast(canon), "cluster_id").select(
+    return a.join(canon, "cluster_id").select(
         "doc_id", "cluster_id", "canonical_text"
     )
 
@@ -142,6 +148,15 @@ def q_short_doc_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Document-frequency cap for the gram self-join: grams occurring in more
+# than this many docs are excluded from the INTERSECTION counts (set sizes
+# still count every gram). A hot boilerplate gram otherwise makes the
+# equi-join bucket quadratic — the exact skew bucket_pairs' cap prevents
+# in the pipeline tiers. Semantics are identical in both engines, so the
+# oracle comparison stays exact; a pair at j >= 0.8 shares mostly rare
+# grams, so the capped jaccard is a tight lower bound in practice.
+_GRAM_DF_CAP = 128
+
 _NGRAM_SPARK_SQL = """
 WITH toks AS (
   SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS t FROM {docs}
@@ -153,9 +168,11 @@ grams AS (
   FROM toks WHERE size(t) >= 5
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) > {cap}),
+kept AS (SELECT grams.* FROM grams LEFT ANTI JOIN hot ON grams.g = hot.g),
 inter AS (
   SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, count(*) AS c
-  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+  FROM kept x JOIN kept y ON x.g = y.g AND x.doc_id < y.doc_id
   GROUP BY x.doc_id, y.doc_id
 )
 SELECT doc_id_a, doc_id_b,
@@ -177,9 +194,11 @@ grams AS (
   FROM toks WHERE len(t) >= 5
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) > {cap}),
+kept AS (SELECT grams.* FROM grams ANTI JOIN hot ON grams.g = hot.g),
 inter AS (
   SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, count(*) AS c
-  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+  FROM kept x JOIN kept y ON x.g = y.g AND x.doc_id < y.doc_id
   GROUP BY x.doc_id, y.doc_id
 )
 SELECT doc_id_a, doc_id_b,
@@ -193,9 +212,10 @@ WHERE c / (sa.n + sb.n - c) >= 0.8
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational n-gram Jaccard (the hash-free ground-truth formulation
-    of the near-dup tier; scales as explode -> equi-join -> count)."""
+    of the near-dup tier). Scale shape: explode -> DF-cap the hot grams
+    (bounded join buckets, no quadratic blowup) -> equi-join -> count."""
     _docs(spark, sf_dir).createOrReplaceTempView("__docs_ngram")
-    return spark.sql(_NGRAM_SPARK_SQL.format(docs="__docs_ngram"))
+    return spark.sql(_NGRAM_SPARK_SQL.format(docs="__docs_ngram", cap=_GRAM_DF_CAP))
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,6 +359,86 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# relational breadth: joins/aggs over the TPC-H-style tables
+# (exercises broadcast-dim joins, multi-way joins, and grouped decimal
+# aggregation — the shapes a 100 TB training-data warehouse runs daily).
+# Float discipline: per-row doubles are cast to DECIMAL before SUM (exact,
+# order-independent in both engines), then the exact sum is cast back to
+# DOUBLE — so the driver's value-hash comparison is bit-stable.
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(28,10)"
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-groupBy-agg over lineitem. The filter
+    and 7-column projection push down to the parquet scan; partial
+    aggregation (map-side combine) means the shuffle carries only
+    |groups| x |partitions| rows."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-31").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(_DEC))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (customer |><| orders |><| lineitem)
+    with selective dimension filter + top-10. The c_mktsegment filter
+    prunes customer before the join; AQE broadcasts the filtered side."""
+    cu = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    pivot = F.lit("1998-06-30").cast("timestamp")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    agg = (
+        cu.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, cu.c_custkey == o.o_custkey)
+        .filter(F.col("o_orderdate") < pivot)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .filter(F.col("l_shipdate") > pivot)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    return agg.orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey")
+    ).limit(10)
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact |><| broadcast dims (supplier -> nation ->
+    region). nation/region are tiny at ANY scale factor — the one place
+    a forced broadcast is always right."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    s = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    r = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    dims = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r.filter(F.col("r_name") == "ASIA"), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # rows-only queries (hash-dependent / iterative — no SQL oracle)
 # ---------------------------------------------------------------------------
 
@@ -349,9 +449,17 @@ def q_near_dup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature surface projected to stable scalars (the driver's
+    canonicalizer sorts every column, so raw array<bigint> output is
+    un-comparable): n_shingles + a 64-bit digest of the full signature.
+    Rows-only (the digest is hash-seeded, not SQL-expressible)."""
     d = with_minhash(with_shingles(_docs(spark, sf_dir), CFG), CFG)
     return d.select(
-        "doc_id", F.size("shingles").alias("n_shingles"), "minhash"
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.xxhash64(
+            F.concat_ws(",", F.transform("minhash", lambda x: x.cast("string")))
+        ).alias("sig_hash"),
     )
 
 
@@ -369,10 +477,32 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_buckets(_docs(spark, sf_dir), CFG)
 
 
-def q_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cdc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC chunker invariant with a FULL oracle: the chunk lengths of
+    every doc must sum to exactly its utf-8 byte length (every byte in
+    exactly one chunk) — DuckDB computes octet_length independently.
+    F.aggregate keeps a row even for docs whose every chunk is sub-min
+    (explode+filter would drop them)."""
+    udf = make_chunk_udf(CFG)
+    chunks = F.coalesce(udf(F.col("text")), F.array().cast(_CHUNK_T))
     return _docs(spark, sf_dir).select(
         "doc_id",
-        shingle_hashes("text", CFG.shingle_k, CFG.hash_seed).alias("shingles"),
+        F.aggregate(
+            chunks, F.lit(0).cast("long"), lambda acc, c: acc + c["len"]
+        ).alias("covered_bytes"),
+    )
+
+
+def q_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 with a FULL oracle: the vectorized shingle UDF's distinct-
+    shingle count per doc vs DuckDB's distinct 5-gram count over the
+    same \\s+ tokenization (64-bit hash collisions within one doc are
+    ~n^2/2^65 — absent at any test scale)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(
+            shingle_hashes("text", CFG.shingle_k, CFG.hash_seed)
+        ).alias("n_shingles"),
     )
 
 
@@ -390,13 +520,26 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode/feature plumbing over mapInPandas (decode stubbed —
-    deterministic fake features; see operators/multimodal.py)."""
+    deterministic fake features; see operators/multimodal.py). The
+    feature vector is projected to a 64-bit digest so the driver's
+    canonicalizer (which sorts columns) can compare rows."""
     from deduplication_spark.operators.multimodal import extract_features
 
     d = _docs(spark, sf_dir).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    return extract_features(d, id_col="doc_id")
+    feats = extract_features(d, id_col="doc_id")
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        "n_bytes",
+        "magic_hex",
+        "modality",
+        F.xxhash64(
+            F.concat_ws(
+                ",", F.transform("feature", lambda x: F.format_number(x, 5))
+            )
+        ).alias("feature_hash"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -418,13 +561,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup": q_events_dedup,
         "embedding_topk": q_embedding_topk,
         "multimodal_metadata": q_multimodal_metadata,
+        "shingle_hashes": q_shingle_hashes,
+        "cdc_coverage": q_cdc_coverage,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_shipping_priority": q_tpch_shipping_priority,
+        "region_revenue": q_region_revenue,
         # rows-only
         "near_dup_assignments": q_near_dup_assignments,
         "minhash_signatures": q_minhash_signatures,
         "simhash_fingerprints": q_simhash_fingerprints,
         "lsh_band_buckets": q_lsh_band_buckets,
         "cdc_chunks": q_cdc_chunks,
-        "shingle_hashes": q_shingle_hashes,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "multimodal_features": q_multimodal_features,
     }
@@ -482,7 +629,58 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'exact_only' ELSE 'all_tiers' END AS routed_tier
             FROM documents
         """,
-        "ngram_jaccard_pairs": _NGRAM_DUCK_SQL,
+        "ngram_jaccard_pairs": _NGRAM_DUCK_SQL.format(cap=_GRAM_DF_CAP),
+        "shingle_hashes": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN len(t) < {CFG.shingle_k} THEN 0
+                        ELSE len(list_distinct(list_transform(
+                          generate_series(1, len(t) - {CFG.shingle_k - 1}),
+                          i -> array_to_string(t[i:i+{CFG.shingle_k - 1}], ' '))))
+                   END AS n_shingles
+            FROM toks
+        """,
+        "cdc_coverage": """
+            SELECT doc_id, octet_length(encode(text)) AS covered_bytes
+            FROM documents
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-30'
+              AND l_shipdate > TIMESTAMP '1998-06-30'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "region_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
         "text_features": """
             WITH t AS (
               SELECT doc_id, text,

@@ -37,9 +37,17 @@ class DedupConfig:
 
     # --- chunk (suffix/substring) tier: content-defined chunking ---
     chunk_min_len: int = 32     # min chunk length (chars)
-    chunk_avg_len: int = 128    # anchor density ~ 1/avg
+    chunk_avg_len: int = 128    # anchor density ~ 1/avg; POWER OF TWO
+                                # (the anchor test is `hash & (avg-1) == 0`)
     chunk_max_len: int = 512    # forced cut
-    substring_min_len: int = 512  # spans >= this must be caught
+    substring_min_len: int = 512  # spans >= this are caught w.h.p., not
+                                  # deterministically: the tier needs one
+                                  # boundary-synchronized interior chunk
+                                  # inside the span; with avg=128 a
+                                  # 512-byte span misses with p ~ 2%
+                                  # (no anchor / edge desync). Residual
+                                  # risk is the standard CDC trade
+                                  # (LBFS) — verified pairs are exact.
 
     # --- verification & routing ---
     jaccard_verify_threshold: float = 0.8
@@ -86,6 +94,12 @@ class DedupConfig:
             raise ValueError("only 64-bit SimHash is implemented")
         if not (0 < self.chunk_min_len <= self.chunk_avg_len <= self.chunk_max_len):
             raise ValueError("chunk lengths must satisfy min <= avg <= max")
+        if self.chunk_avg_len & (self.chunk_avg_len - 1):
+            # the CDC anchor test is a bitmask (hash & (avg-1) == 0):
+            # a non-power-of-two silently yields the wrong anchor density
+            raise ValueError(
+                f"chunk_avg_len must be a power of two, got {self.chunk_avg_len}"
+            )
         if self.shingle_k <= 0 or self.min_doc_tokens < self.shingle_k:
             raise ValueError("min_doc_tokens must be >= shingle_k > 0")
 

@@ -25,7 +25,6 @@ _WINDOW = 16          # anchor-hash window (bytes)
 _BASE = np.uint64(0x9E3779B97F4A7C15 | 1)   # odd -> invertible mod 2^64
 _BASE_INV = np.uint64(pow(int(_BASE), -1, 1 << 64))
 
-_err = np.seterr(over="ignore")  # uint64 wraparound is the point
 _gear_rng = np.random.default_rng(0xC0FFEE)
 _GEAR = _gear_rng.integers(0, 1 << 63, size=256, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
 _WEIGHTS = np.array(
@@ -124,7 +123,10 @@ def cdc_chunks(
         cuts.append(n)
 
     out = []
-    for s, e in zip(cuts, cuts[1:]):
-        fp = int(P[e] - P[s] * pows[e - s])  # poly hash of b[s:e]
-        out.append((s, e - s, fp - (1 << 64) if fp >= (1 << 63) else fp))
+    # uint64 wraparound is the point; numpy warns on SCALAR overflow
+    # (array ops wrap silently), so scope the suppression to this loop
+    with np.errstate(over="ignore"):
+        for s, e in zip(cuts, cuts[1:]):
+            fp = int(P[e] - P[s] * pows[e - s])  # poly hash of b[s:e]
+            out.append((s, e - s, fp - (1 << 64) if fp >= (1 << 63) else fp))
     return out

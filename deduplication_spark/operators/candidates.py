@@ -53,6 +53,8 @@ class CandidateResult:
     pairs: DataFrame          # (a, b) with a < b, distinct
     metrics: DataFrame        # (n_buckets, n_capped_buckets, n_pair_edges,
                               #  n_chain_edges, dropped_pairs)
+    shared: DataFrame | None = None  # persisted memberships (reuse_input=True);
+                                     # caller unpersists after both jobs ran
 
 
 def bucket_pairs(
@@ -60,12 +62,19 @@ def bucket_pairs(
     key_cols: list[str],
     id_col: str = "doc_id",
     cap: int = 200,
+    reuse_input: bool = False,
 ) -> CandidateResult:
     """(id, *key) bucket memberships -> distinct candidate pairs (a, b), a<b.
 
     `cap` bounds the all-pairs expansion per bucket; the overflow is
     chain-linked (connectivity-preserving) and counted in metrics.
+
+    `reuse_input=True` persists the membership frame so the pairs job and
+    the metrics job evaluate the upstream derivation (CDC UDF pass / band
+    explode) exactly once — set it when both DataFrames will be acted on.
     """
+    if reuse_input:
+        bucketed = bucketed.persist()
     w = Window.partitionBy(*key_cols).orderBy(id_col)
     ranked = bucketed.select(id_col, *key_cols).withColumn(
         "_rn", F.row_number().over(w)
@@ -110,7 +119,9 @@ def bucket_pairs(
             ).otherwise(0)
         ).cast("long").alias("dropped_pairs"),
     )
-    return CandidateResult(pairs=pairs, metrics=metrics)
+    return CandidateResult(
+        pairs=pairs, metrics=metrics, shared=bucketed if reuse_input else None
+    )
 
 
 def estimate_prefilter(

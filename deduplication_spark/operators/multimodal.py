@@ -46,7 +46,11 @@ def sniff_modality(payload: bytes) -> str:
     return "application/octet-stream"
 
 
-def fake_decoder(payload: bytes, n_features: int = 8) -> list[float]:
+_FAKE_PROJ_DIM = 8
+_FAKE_PROJ = np.random.default_rng(0xDEC0DE).standard_normal((256, _FAKE_PROJ_DIM))
+
+
+def fake_decoder(payload: bytes, n_features: int = _FAKE_PROJ_DIM) -> list[float]:
     """Deterministic stand-in for a real media decode + feature extract:
     a seeded projection of the byte histogram. Stable across runs,
     partitions, and platforms — good enough to test plumbing and rank
@@ -54,7 +58,11 @@ def fake_decoder(payload: bytes, n_features: int = 8) -> list[float]:
     hist = np.bincount(
         np.frombuffer(payload, dtype=np.uint8), minlength=256
     ).astype(np.float64)
-    proj = np.random.default_rng(0xDEC0DE).standard_normal((256, n_features))
+    proj = (
+        _FAKE_PROJ
+        if n_features == _FAKE_PROJ_DIM
+        else np.random.default_rng(0xDEC0DE).standard_normal((256, n_features))
+    )
     feat = hist @ proj
     denom = np.linalg.norm(feat)
     return (feat / denom if denom else feat).astype(np.float32).tolist()

@@ -77,10 +77,22 @@ def chunk_buckets(
 
 
 def substring_candidates(
-    docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    reuse_input: bool = False,
 ) -> CandidateResult:
+    """`reuse_input=True` persists the chunk memberships so the CDC UDF
+    pass runs once even when both pairs and metrics are acted on."""
     buckets = chunk_buckets(docs, cfg, id_col, text_col)
-    return bucket_pairs(buckets, ["chunk_fp"], id_col=id_col, cap=cfg.bucket_pair_cap)
+    return bucket_pairs(
+        buckets,
+        ["chunk_fp"],
+        id_col=id_col,
+        cap=cfg.bucket_pair_cap,
+        reuse_input=reuse_input,
+    )
 
 
 def verify_substring(

@@ -183,17 +183,26 @@ def dedup(
         return _tstage("edges_exact", build_exact)
 
     def _cand_stage(name: str, make_cand) -> DataFrame:
-        """Candidate pairs as their own snapshot: the window+groupBy
-        bucket expansion runs exactly ONCE (metrics / prefilter / verify
-        all read the materialized pairs, never re-derive them), and a
-        resume restarts after candidate generation."""
-        pairs = _tstage(f"cand_{name}", lambda: make_cand().pairs)
-        # metrics: one direct aggregation job (no snapshot — cheap to
-        # recompute on resume, not worth a stage's write+read+count)
+        """Candidate pairs as their own snapshot: make_cand() is invoked
+        at most once per run, so the bucket derivation (CDC UDF pass /
+        band explode) is declared once and both the pairs snapshot and
+        the metrics aggregation read from that single build. Downstream
+        (prefilter / verify) reads the materialized pairs, never
+        re-derives them; a resume restarts after candidate generation
+        and skips the metrics job entirely (the lineage log already
+        carries the original run's numbers)."""
+        with _mx:
+            resumed = store.exists(f"cand_{name}")
+        if resumed:
+            return _tstage(f"cand_{name}", lambda: None)  # read-back path
+        cand = make_cand()
+        pairs = _tstage(f"cand_{name}", lambda: cand.pairs)
         if collect_stats:
-            m = make_cand().metrics.collect()[0].asDict()
+            m = cand.metrics.collect()[0].asDict()
             with _mx:
                 metrics[f"{name}_candidates"] = m
+        if cand.shared is not None:
+            cand.shared.unpersist()
         return pairs
 
     def run_minhash() -> DataFrame:
@@ -203,6 +212,7 @@ def dedup(
                 band_buckets(enriched, cfg),
                 ["band_idx", "band_hash"],
                 cap=cfg.bucket_pair_cap,
+                reuse_input=collect_stats,
             ),
         )
 
@@ -264,7 +274,8 @@ def dedup(
 
     def run_substring_full() -> DataFrame:
         ss_pairs = _cand_stage(
-            "substring", lambda: substring_candidates(base, cfg)
+            "substring",
+            lambda: substring_candidates(base, cfg, reuse_input=collect_stats),
         )
 
         def build_substring() -> DataFrame:

@@ -69,6 +69,18 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
+        # the driver canonicalizer sorts every column in pandas: a list
+        # value raises "unhashable type" and the query records as err —
+        # catch array/map outputs here (even for rows-only queries)
+        bad = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map")
+        ]
+        if bad:
+            print(f"FAIL  {name}: canonicalizer-unsafe array/map cols {bad}")
+            failures += 1
+            continue
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(srows)} rows)")
             continue

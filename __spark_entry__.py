@@ -10,6 +10,14 @@ buckets) are rows-only by design — the driver records the weaker check.
 
 Column names and value rounding are aligned on both sides so the
 driver's order-insensitive value-hash comparison is exact.
+
+Contract rules learned from the round-1 harness:
+- NO array/map output columns anywhere (the canonicalizer sorts every
+  column in pandas; lists are unhashable) — signatures/features are
+  projected to xxhash64 digests + counts (tools/check_contract.py
+  enforces this).
+- double aggregates that must hash-match are summed as DECIMAL
+  (exact, order-independent) and cast back to double.
 """
 
 from __future__ import annotations
@@ -358,6 +366,51 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality gate (C4/Gopher-style rule stack): length
+    bounds, punctuation density, stopword floor — pure codegen
+    expressions, one scan, no shuffle. Emits the keep flag AND the
+    first failing rule so a pipeline can report drop reasons."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    n_tok = F.size(toks)
+    n_char = F.length("text")
+    pr = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")) / n_char
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    sr = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / n_tok
+    keep = (n_tok >= 50) & (n_tok <= 100000) & (pr <= 0.3) & (sr >= 0.05)
+    reason = (
+        F.when(n_tok < 50, F.lit("too_short"))
+        .when(n_tok > 100000, F.lit("too_long"))
+        .when(pr > 0.3, F.lit("punct_heavy"))
+        .when(sr < 0.05, F.lit("low_stopword"))
+        .otherwise(F.lit("ok"))
+    )
+    return d.select("doc_id", keep.alias("keep"), reason.alias("reason"))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30 min gap per
+    user (lag + running sum over an ordered window — the batch form of
+    the streaming state machine in streaming/incremental.py)."""
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet stores ts as TIMESTAMP_NTZ; session tz is pinned UTC, so
+    # the cast to TIMESTAMP is exact and unix_micros matches epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = us - F.lag(us).over(w)
+    new_sess = (gap_us.isNull() | (gap_us > 1800 * 1_000_000)).cast("int")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(run).alias("session_seq"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational breadth: joins/aggs over the TPC-H-style tables
 # (exercises broadcast-dim joins, multi-way joins, and grouped decimal
@@ -563,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": q_multimodal_metadata,
         "shingle_hashes": q_shingle_hashes,
         "cdc_coverage": q_cdc_coverage,
+        "quality_filter": q_quality_filter,
+        "events_sessionize": q_events_sessionize,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_shipping_priority": q_tpch_shipping_priority,
         "region_revenue": q_region_revenue,
@@ -646,6 +701,39 @@ def oracle_sql() -> dict[str, str]:
         "cdc_coverage": """
             SELECT doc_id, octet_length(encode(text)) AS covered_bytes
             FROM documents
+        """,
+        "quality_filter": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok,
+                     length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / length(text) AS pr,
+                     len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> list_contains(['the','a','of','to','and','in','is','for','on','with'], x)))
+                       / len(string_split_regex(trim(lower(text)), '\\s+')) AS sr
+              FROM documents
+            )
+            SELECT doc_id,
+                   (n_tok >= 50 AND n_tok <= 100000 AND pr <= 0.3 AND sr >= 0.05) AS keep,
+                   CASE WHEN n_tok < 50 THEN 'too_short'
+                        WHEN n_tok > 100000 THEN 'too_long'
+                        WHEN pr > 0.3 THEN 'punct_heavy'
+                        WHEN sr < 0.05 THEN 'low_stopword'
+                        ELSE 'ok' END AS reason
+            FROM t
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT event_id, user_id, ts,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              FROM events
+            )
+            SELECT event_id, user_id, ts,
+                   sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM g
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

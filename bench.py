@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import resource
 import sys
 import time
 
@@ -26,6 +27,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from deduplication_spark.config import DedupConfig  # noqa: E402
 from deduplication_spark.session import get_spark  # noqa: E402
+
+
+def _max_rss_kb() -> dict[str, int]:
+    """Peak memory, mirroring the reference's /usr/bin/time -v protocol
+    (scripts/encode_bench.sh:67-80 records max_rss_kb per run): the
+    driver Python's ru_maxrss plus the local-mode JVM's VmHWM (the JVM
+    is a direct child of this process; in local mode it hosts driver
+    AND executors, so its high-water mark is the number that matters)."""
+    out = {"driver_python": resource.getrusage(resource.RUSAGE_SELF).ru_maxrss}
+    me = str(os.getpid())
+    jvm = 0
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/status") as f:
+                s = f.read()
+            if f"\nPPid:\t{me}\n" not in s:
+                continue
+            with open(f"/proc/{d}/cmdline") as f:
+                if "java" not in f.read():
+                    continue
+            for line in s.splitlines():
+                if line.startswith("VmHWM:"):
+                    jvm = max(jvm, int(line.split()[1]))
+        except OSError:
+            continue
+    out["jvm"] = jvm
+    return out
 
 
 def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
@@ -78,6 +108,7 @@ def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
         "docs_per_sec": round(n_docs / pipeline_sec, 1),
         "cpus": cpus,
         "dup_ratio": round(1 - n_clusters / n_docs, 4),
+        "max_rss_kb": _max_rss_kb(),
     }
     return out
 

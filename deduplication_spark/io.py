@@ -70,7 +70,31 @@ class StageStore:
 
     def write(self, name: str, df: DataFrame) -> DataFrame:
         df.write.mode("overwrite").parquet(self.path(name))
+        self._log_partitions(name)
         return self.read(name)
+
+    def _log_partitions(self, name: str) -> None:
+        """Per-partition lineage (north_rule): one record per output
+        file with its row count, read from the parquet FOOTERS on the
+        driver — no Spark job, no data scan. At 100 TB this is the same
+        O(files) metadata walk Iceberg's manifest write performs."""
+        try:
+            import pyarrow.parquet as pq
+
+            parts = []
+            d = self.path(name)
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    parts.append(
+                        {"file": f, "rows": pq.ParquetFile(os.path.join(d, f)).metadata.num_rows}
+                    )
+            with open(os.path.join(self.run_dir, "partitions.jsonl"), "a") as fh:
+                fh.write(
+                    json.dumps({"stage": name, "n_files": len(parts), "files": parts})
+                    + "\n"
+                )
+        except Exception:  # metadata-only, never fails the pipeline
+            pass
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))

@@ -78,10 +78,20 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50
+    edges: DataFrame, max_iterations: int = 50, check_every: int = 1
 ) -> DataFrame:
     """Returns (node, component) for every node appearing in `edges`,
     component = min node id of the connected component.
+
+    `check_every` > 1 batches star rounds between checkpoint+signature
+    actions. Measured (45k edges / 96k nodes, local[8]): 1 -> ~7 s,
+    2 -> ~13 s, 3 -> ~80 s — KEEP 1. The star steps reference their
+    input 2-3x, so un-checkpointed chained rounds re-analyze/recompute
+    the subtree multiplicatively; per-round truncation is what keeps
+    each round O(edges). (A persist()-based variant that skips
+    truncation entirely hangs on exponential plan analysis; a lazy
+    localCheckpoint fused with the signature job measures the same as
+    eager — the materialization cost dominates, not the extra action.)
     """
     spark = edges.sparkSession
     # .toDF after every checkpoint: re-aliases the attributes so the
@@ -94,17 +104,18 @@ def connected_components(
         return spark.createDataFrame([], "node long, component long")
 
     prev_sig = None
-    for _ in range(max_iterations):
-        e = (
-            _small_star(_large_star(e))
-            .localCheckpoint(eager=True)
-            .toDF("src", "dst")
-        )
+    converged = False
+    for i in range(max_iterations):
+        e = _small_star(_large_star(e))
+        if (i + 1) % check_every and i != max_iterations - 1:
+            continue  # lineage grows ~4 shuffles per skipped check: fine
+        e = e.localCheckpoint(eager=True).toDF("src", "dst")
         sig = _signature(e)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
-    else:
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} iterations"
         )

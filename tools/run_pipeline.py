@@ -1,0 +1,72 @@
+"""spark-submit entry point for the tiered dedup pipeline (north_rule
+launch mode):
+
+    python tools/package.py                      # -> dist/deduplication_spark.zip
+    spark-submit --py-files dist/deduplication_spark.zip \
+        tools/run_pipeline.py \
+        --input  /data/documents.parquet \
+        --run-dir /runs/dedup_2026_08_16 \
+        --output /data/assignments.parquet \
+        [--tiers exact,minhash,simhash,substring] [--no-stats]
+
+Also runnable as plain `python tools/run_pipeline.py ...` (the session
+factory ships the package via addPyFile when spark-submit didn't).
+Re-launching with the same --run-dir resumes from the last completed
+stage; a changed config fails fast (ConfigMismatch).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--run-dir", required=True, help="stage-snapshot dir (resume key)")
+    ap.add_argument("--output", default=None, help="assignments parquet out path")
+    ap.add_argument("--tiers", default="exact,minhash,simhash,substring")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--no-stats", action="store_true")
+    ap.add_argument("--cores", type=int, default=None, help="local cores (ignored under spark-submit)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from deduplication_spark.config import DedupConfig
+    from deduplication_spark.pipeline import dedup
+
+    active = SparkSession.getActiveSession()
+    if active is not None:  # spark-submit created the session/context
+        spark = active
+    else:
+        from deduplication_spark.session import get_spark
+
+        spark = get_spark(app_name="dedup_pipeline", cores=args.cores)
+
+    docs = spark.read.parquet(args.input)
+    res = dedup(
+        spark,
+        docs,
+        DedupConfig(),
+        run_dir=args.run_dir,
+        tiers=tuple(t.strip() for t in args.tiers.split(",") if t.strip()),
+        id_col=args.id_col,
+        text_col=args.text_col,
+        collect_stats=not args.no_stats,
+    )
+    if args.output:
+        res.assignments.write.mode("overwrite").parquet(args.output)
+    else:
+        res.assignments.write.format("noop").mode("overwrite").save()
+    print(json.dumps({"metrics": res.metrics, "lineage": res.lineage}, default=str))
+
+
+if __name__ == "__main__":
+    main()

@@ -571,6 +571,20 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a_id < b_id, cos >= 0.40,
+    rounded to 4 places in BOTH engines so the boundary predicate is
+    bit-stable). The synthetic embeddings are well-spread (max pairwise
+    cos ~= 0.51), so 0.40 selects the top-percentile similar pairs.
+    Brute-force method = the exact oracle baseline (mirrors
+    `embedding_topk`); the scale path is `cosine_near_dup(method='lsh')`
+    — hyperplane-bucket equi-join, exercised by pytest at high
+    thresholds where LSH recall holds."""
+    from deduplication_spark.operators.similarity import cosine_near_dup
+
+    return cosine_near_dup(_emb(spark, sf_dir), threshold=0.40, method="brute")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode/feature plumbing over mapInPandas (decode stubbed —
     deterministic fake features; see operators/multimodal.py). The
@@ -621,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_shipping_priority": q_tpch_shipping_priority,
         "region_revenue": q_region_revenue,
+        "embedding_near_dup": q_embedding_near_dup,
         # rows-only
         "near_dup_assignments": q_near_dup_assignments,
         "minhash_signatures": q_minhash_signatures,
@@ -839,6 +854,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
               FROM sims
             ) WHERE rank <= 5
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(
+                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                   4) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(
+                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                  4) >= 0.40
         """,
         "multimodal_metadata": """
             SELECT doc_id,

@@ -14,13 +14,18 @@ from deduplication_spark.operators.minhash_lsh import (
 )
 from deduplication_spark.operators.multimodal import extract_features
 from deduplication_spark.operators.simhash import simhash_edges, with_simhash
-from deduplication_spark.operators.similarity import cosine_topk, lsh_topk
+from deduplication_spark.operators.similarity import (
+    cosine_near_dup,
+    cosine_topk,
+    lsh_topk,
+)
 from deduplication_spark.operators.substring import substring_edges
 
 __all__ = [
     "band_buckets",
     "bucket_pairs",
     "connected_components",
+    "cosine_near_dup",
     "cosine_topk",
     "estimate_prefilter",
     "exact_assignments",

@@ -113,6 +113,70 @@ def hyperplane_buckets(
     )
 
 
+def cosine_near_dup(
+    embeddings: DataFrame,
+    threshold: float,
+    method: str = "lsh",
+    dim: int | None = None,
+    n_tables: int = 16,
+    n_bits: int = 8,
+    seed: int = 0x5EED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a_id, b_id, cos_sim)
+    with cos_sim >= threshold and a_id < b_id.
+
+    The embedding analog of the text near-dup tiers (reference semantic:
+    duplicate detection by content equality, src/dictionary.c:49-59,
+    relaxed to angular similarity).
+
+    method="brute" — exact all-pairs. O(n^2): the oracle baseline for
+    small frames and correctness checks only, mirroring `cosine_topk`.
+
+    method="lsh" — the scale path: self-join on hyperplane-LSH
+    (table_idx, bucket) so only vectors sharing a bucket in some table
+    are ever scored; no cross join materializes. Recall is governed by
+    (n_tables, n_bits) against the threshold's angle: with the defaults
+    (16 tables x 8 bits) a cos >= 0.9 pair collides in >= 1 table with
+    p ~= 0.996. Meant for high thresholds (>= ~0.9) — at low thresholds
+    the collision probability (and thus recall) collapses, which is why
+    the brute path stays the oracle.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    if method == "brute":
+        a = e.select(F.col("_id").alias("a_id"), F.col("_v").alias("qv"))
+        b = e.select(F.col("_id").alias("b_id"), F.col("_v").alias("v"))
+        cand = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    elif method == "lsh":
+        if dim is None:
+            raise ValueError("dim is required for method='lsh'")
+        hb = hyperplane_buckets(e, dim, n_tables, n_bits, seed, "_v")
+        a = hb.select(
+            F.col("_id").alias("a_id"), F.col("_v").alias("qv"),
+            "table_idx", "bucket",
+        )
+        b = hb.select(
+            F.col("_id").alias("b_id"), F.col("_v").alias("v"),
+            "table_idx", "bucket",
+        )
+        cand = (
+            a.join(b, ["table_idx", "bucket"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "qv", "b_id", "v")
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (
+        with_cosine(cand)
+        .filter(F.round("cos_sim", 4) >= threshold)
+        .select("a_id", "b_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

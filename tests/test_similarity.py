@@ -65,3 +65,29 @@ def test_hyperplane_buckets_deterministic(spark):
     a = sorted(map(tuple, hyperplane_buckets(df, DIM, 4, 6).collect()))
     b = sorted(map(tuple, hyperplane_buckets(df, DIM, 4, 6).collect()))
     assert a == b
+
+
+def test_cosine_near_dup_lsh_matches_brute_at_high_threshold(spark):
+    """Planted near-neighbors (noise=0.05 -> cos ~0.999) are the only
+    pairs above 0.95; the LSH path must recover (almost) all of what
+    brute force finds, and report identical similarities for them."""
+    from deduplication_spark.operators.similarity import cosine_near_dup
+
+    pdf = _planted(40)
+    df = spark.createDataFrame(pdf)
+    brute = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in cosine_near_dup(df, 0.95, method="brute").collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in cosine_near_dup(
+            df, 0.95, method="lsh", dim=DIM, n_tables=16, n_bits=6
+        ).collect()
+    }
+    # every planted pair is above threshold and brute finds it
+    assert all((i, 1000 + i) in brute for i in range(40))
+    # LSH is a subset of brute with identical values, near-total recall
+    assert set(lsh) <= set(brute)
+    assert all(lsh[k] == brute[k] for k in lsh)
+    assert len(lsh) >= 0.9 * len(brute), f"LSH recall too low: {len(lsh)}/{len(brute)}"

@@ -221,8 +221,23 @@ WHERE c / (sa.n + sb.n - c) >= 0.8
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational n-gram Jaccard (the hash-free ground-truth formulation
     of the near-dup tier). Scale shape: explode -> DF-cap the hot grams
-    (bounded join buckets, no quadratic blowup) -> equi-join -> count."""
-    _docs(spark, sf_dir).createOrReplaceTempView("__docs_ngram")
+    (bounded join buckets, no quadratic blowup) -> equi-join -> count.
+
+    Two measured plan decisions (A/B on sf0.1, warm JVM, best-of-3):
+    - The scan is repartitioned before the gram explode: the sf file
+      fits one input split, so without it the whole tokenize+explode
+      runs as a single task on a 32-core host.
+    - The sizes/hot CTEs re-derive `grams` (Spark does not materialize
+      CTEs) — but the re-derivations are narrow fused pipelines whose
+      stages run concurrently, and both persist() and carrying the
+      per-doc gram count through the explode measured SLOWER (cache
+      serialization / +16 bytes on every row of the self-join shuffle,
+      the query's dominant exchange). Joining the tiny post-aggregation
+      `sizes` frame twice wins.
+    """
+    _docs(spark, sf_dir).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ).createOrReplaceTempView("__docs_ngram")
     return spark.sql(_NGRAM_SPARK_SQL.format(docs="__docs_ngram", cap=_GRAM_DF_CAP))
 
 

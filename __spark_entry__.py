@@ -381,6 +381,45 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling with a FULL oracle: the 1->4 row
+    fan-out through mapInPandas (operators/multimodal.py:sample_frames)
+    with the deterministic byte-window extractor — frame boundaries and
+    md5 digests are recomputed independently by DuckDB via varchar
+    substring (the synthetic text is ASCII, so char offsets == byte
+    offsets; asserted in tests). A real keyframe extractor swaps the
+    kernel only; this plumbing (schema, fan-out, partitioning) is what
+    runs at 100 TB."""
+    from deduplication_spark.operators.multimodal import sample_frames
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return sample_frames(d, n_frames=4, id_col="doc_id").select(
+        F.col("id").alias("doc_id"),
+        "frame_idx",
+        F.octet_length("frame").alias("n_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing with a FULL oracle: binary->binary
+    stride-4 resample via mapInPandas (operators/multimodal.py:
+    resize_media); DuckDB rebuilds the strided string per char and
+    matches length + md5 exactly."""
+    from deduplication_spark.operators.multimodal import resize_media
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return resize_media(d, factor=4, id_col="doc_id").select(
+        F.col("id").alias("doc_id"),
+        "n_bytes",
+        F.md5("payload").alias("resized_md5"),
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data quality gate (C4/Gopher-style rule stack): length
     bounds, punctuation density, stopword floor — pure codegen
@@ -651,6 +690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_shipping_priority": q_tpch_shipping_priority,
         "region_revenue": q_region_revenue,
         "embedding_near_dup": q_embedding_near_dup,
+        "frame_sample": q_frame_sample,
+        "media_resize": q_media_resize,
         # rows-only
         "near_dup_assignments": q_near_dup_assignments,
         "minhash_signatures": q_minhash_signatures,
@@ -883,6 +924,23 @@ def oracle_sql() -> dict[str, str]:
                      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
                       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
                   4) >= 0.40
+        """,
+        "frame_sample": """
+            WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+                 f AS (SELECT unnest([0,1,2,3]) AS frame_idx)
+            SELECT doc_id, frame_idx,
+                   ((n*(frame_idx+1)) // 4) - ((n*frame_idx) // 4) AS n_bytes,
+                   md5(substring(text, ((n*frame_idx) // 4) + 1,
+                                 ((n*(frame_idx+1)) // 4) - ((n*frame_idx) // 4))) AS frame_md5
+            FROM d, f
+        """,
+        "media_resize": """
+            SELECT doc_id,
+                   CAST((length(text) + 3) // 4 AS INT) AS n_bytes,
+                   md5(array_to_string(list_transform(
+                       generate_series(1, length(text), 4),
+                       i -> substring(text, i, 1)), '')) AS resized_md5
+            FROM documents
         """,
         "multimodal_metadata": """
             SELECT doc_id,

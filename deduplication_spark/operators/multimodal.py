@@ -75,6 +75,103 @@ def strict_decoder(payload: bytes, n_features: int = 8) -> list[float]:
     )
 
 
+FRAME_SCHEMA = "id long, frame_idx int, frame binary"
+RESIZE_SCHEMA = "id long, payload binary, n_bytes int"
+
+
+def byte_window_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic stand-in for real keyframe extraction (no ffmpeg in
+    this container): n contiguous byte windows with floor-split
+    boundaries, so the windows cover every byte exactly once — the
+    coverage invariant tests (and the DuckDB oracle) rely on that.
+    A real extractor (ffmpeg keyframes / PIL tiles) swaps THIS function
+    only; the Spark fan-out plumbing is unchanged."""
+    n = len(payload)
+    return [
+        payload[(n * i) // n_frames : (n * (i + 1)) // n_frames]
+        for i in range(n_frames)
+    ]
+
+
+def byte_stride_resize(payload: bytes, factor: int) -> bytes:
+    """Deterministic stand-in for a real image/audio resize (PIL /
+    resampling not in this container): every factor-th byte. Preserves
+    determinism and the ~1/factor size contract the tests assert."""
+    return payload[::factor]
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    extractor: Callable[[bytes, int], list[bytes]] = byte_window_frames,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Frame sampling as a 1->n_frames row fan-out through mapInPandas:
+    (id, frame_idx, frame). The expansion happens inside the Arrow
+    iterator (never a full-partition materialization); load is spread
+    by an id-keyed repartition exactly as in extract_features."""
+    cols = [id_col, payload_col]
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for frame in it:
+            for s in range(0, len(frame), batch_rows):
+                chunk = frame.iloc[s : s + batch_rows]
+                ids, idxs, frames = [], [], []
+                for i, p in zip(
+                    chunk[id_col].astype("int64"), chunk[payload_col]
+                ):
+                    for j, fr in enumerate(extractor(p, n_frames)):
+                        ids.append(i)
+                        idxs.append(j)
+                        frames.append(fr)
+                yield pd.DataFrame(
+                    {
+                        "id": pd.Series(ids, dtype="int64"),
+                        "frame_idx": pd.Series(idxs, dtype="int32"),
+                        "frame": pd.Series(frames, dtype=object),
+                    }
+                )
+
+    spread = df.select(*cols).repartition(
+        2 * df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    return spread.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_media(
+    df: DataFrame,
+    factor: int = 4,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    resizer: Callable[[bytes, int], bytes] = byte_stride_resize,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Binary->binary resize plumbing: (id, payload, n_bytes) via
+    mapInPandas with in-iterator re-chunking (same shape as
+    extract_features; the resize kernel is the swappable stub)."""
+    cols = [id_col, payload_col]
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for frame in it:
+            for s in range(0, len(frame), batch_rows):
+                chunk = frame.iloc[s : s + batch_rows]
+                out = chunk[payload_col].map(lambda p: resizer(p, factor))
+                yield pd.DataFrame(
+                    {
+                        "id": chunk[id_col].astype("int64"),
+                        "payload": out,
+                        "n_bytes": out.map(len).astype("int32"),
+                    }
+                )
+
+    spread = df.select(*cols).repartition(
+        2 * df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    return spread.mapInPandas(run, RESIZE_SCHEMA)
+
+
 def extract_features(
     df: DataFrame,
     id_col: str = "id",

@@ -4,8 +4,12 @@ import pandas as pd
 import pytest
 
 from deduplication_spark.operators.multimodal import (
+    byte_stride_resize,
+    byte_window_frames,
     extract_features,
     fake_decoder,
+    resize_media,
+    sample_frames,
     sniff_modality,
     strict_decoder,
 )
@@ -55,3 +59,31 @@ def test_strict_decoder_is_explicit_stub():
 def test_sniff_modality():
     assert sniff_modality(b"\x1aE\xdf\xa3xxx") == "video/webm"
     assert sniff_modality(b"ID3\x04") == "audio/mp3"
+
+
+def test_byte_window_frames_cover_payload():
+    for payload in (b"0123456789", b"x" * 7, b"ab"):
+        frames = byte_window_frames(payload, 4)
+        assert len(frames) == 4
+        assert b"".join(frames) == payload
+
+
+def test_sample_frames_fanout_and_coverage(spark, payloads):
+    src = {r["id"]: r["payload"] for r in payloads.collect()}
+    rows = sample_frames(payloads, n_frames=4).collect()
+    assert len(rows) == 4 * len(src)
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    for i, frames in by_id.items():
+        assert sorted(frames) == [0, 1, 2, 3]
+        assert b"".join(frames[j] for j in range(4)) == src[i]
+
+
+def test_resize_media_stride_contract(spark, payloads):
+    src = {r["id"]: r["payload"] for r in payloads.collect()}
+    out = {r["id"]: r for r in resize_media(payloads, factor=4).collect()}
+    for i, p in src.items():
+        expect = byte_stride_resize(p, 4)
+        assert bytes(out[i]["payload"]) == expect == p[::4]
+        assert out[i]["n_bytes"] == len(expect)

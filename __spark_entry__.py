@@ -381,6 +381,42 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming stateful dedup with a FULL batch oracle:
+    stream_dedup_flags (applyInPandasWithState, streaming/incremental.py)
+    run at trigger(availableNow) over the corpus staged as ONE parquet
+    part — a single microbatch, so first-seen == min(doc_id) per hash
+    group and the window-aggregation SQL is the exact oracle. This is
+    the batch-parity contract the streaming module promises; at real
+    scale the same code runs continuously with watermark-bounded state.
+    """
+    import tempfile
+
+    from deduplication_spark.streaming.incremental import stream_dedup_flags
+
+    batch = _docs(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="graft_stream_dedup_")
+    src_dir = os.path.join(work, "src")
+    # one part file -> one microbatch -> deterministic first-seen
+    batch.coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    out_dir = os.path.join(work, "out")
+    q = (
+        # state_timeout_ms=None: bounded run — with a processing-time
+        # timeout the availableNow query never self-terminates
+        stream_dedup_flags(stream, state_timeout_ms=None)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "content_hash", "is_duplicate", "canonical_doc_id"
+    )
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling with a FULL oracle: the 1->4 row
     fan-out through mapInPandas (operators/multimodal.py:sample_frames)
@@ -692,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "frame_sample": q_frame_sample,
         "media_resize": q_media_resize,
+        "streaming_dedup_flags": q_streaming_dedup_flags,
         # rows-only
         "near_dup_assignments": q_near_dup_assignments,
         "minhash_signatures": q_minhash_signatures,
@@ -924,6 +961,12 @@ def oracle_sql() -> dict[str, str]:
                      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
                       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
                   4) >= 0.40
+        """,
+        "streaming_dedup_flags": """
+            SELECT doc_id, sha256(text) AS content_hash,
+                   doc_id <> min(doc_id) OVER (PARTITION BY sha256(text)) AS is_duplicate,
+                   min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_doc_id
+            FROM documents
         """,
         "frame_sample": """
             WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),

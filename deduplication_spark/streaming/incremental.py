@@ -49,13 +49,20 @@ def stream_dedup_flags(
     id_col: str = "doc_id",
     ts_col: str = "warc_ts",
     text_col: str = "text",
-    state_timeout_ms: int = 3_600_000,
+    state_timeout_ms: int | None = 3_600_000,
 ) -> DataFrame:
     """Stateful per-hash dedup that emits every row, flagged.
 
     Output: (doc_id, content_hash, is_duplicate, canonical_doc_id).
     State per content_hash: the first-seen doc_id (the dictionary entry,
     /root/reference/src/dictionary.c:61-78).
+
+    `state_timeout_ms=None` disables the processing-time state timeout.
+    Use None for bounded runs under trigger(availableNow): with
+    ProcessingTimeTimeout the query never self-terminates (Spark keeps
+    scheduling timeout-handling batches), so an availableNow parity run
+    blocks until the caller's awaitTermination deadline. Continuous
+    production streams keep the timeout — that is what bounds state.
     """
     import pandas as pd
 
@@ -63,7 +70,7 @@ def stream_dedup_flags(
 
     def dedup_group(key, frames, state: GroupState):
         (content_hash,) = key
-        if state.hasTimedOut:
+        if state_timeout_ms is not None and state.hasTimedOut:
             state.remove()
             return
         canonical = state.get[0] if state.exists else None
@@ -78,7 +85,8 @@ def stream_dedup_flags(
                 else:
                     out.append((doc_id, content_hash, True, canonical))
         state.update((canonical,))
-        state.setTimeoutDuration(state_timeout_ms)
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
         yield pd.DataFrame(
             out,
             columns=[id_col, "content_hash", "is_duplicate", "canonical_doc_id"],
@@ -92,5 +100,9 @@ def stream_dedup_flags(
         ),
         stateStructType="canonical long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

@@ -66,7 +66,12 @@ def test_stream_dedup_flags_every_row(spark, stream_dir, tmp_path):
     src = spark.readStream.schema(schema).parquet(
         stream_dir
     )
-    out = _run_stream(spark, stream_dedup_flags(src), str(tmp_path / "out"))
+    # state_timeout_ms=None: with ProcessingTimeTimeout the availableNow
+    # query never self-terminates and this test burns awaitTermination's
+    # full deadline (see streaming/incremental.py docstring)
+    out = _run_stream(
+        spark, stream_dedup_flags(src, state_timeout_ms=None), str(tmp_path / "out")
+    )
     batch = spark.read.parquet(stream_dir)
     assert len(out) == batch.count()  # every row emitted, flagged
     n_unique = (

@@ -169,12 +169,13 @@ _NGRAM_SPARK_SQL = """
 WITH toks AS (
   SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS t FROM {docs}
 ),
-grams AS (
+grams0 AS (
   SELECT doc_id, explode(array_distinct(
     transform(sequence(1, size(t) - 4), i -> concat_ws(' ', slice(t, i, 5)))
-  )) AS g
+  )) AS gs
   FROM toks WHERE size(t) >= 5
 ),
+grams AS (SELECT doc_id, xxhash64(gs) AS g FROM grams0),
 sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
 hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) > {cap}),
 kept AS (SELECT grams.* FROM grams LEFT ANTI JOIN hot ON grams.g = hot.g),
@@ -234,6 +235,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       serialization / +16 bytes on every row of the self-join shuffle,
       the query's dominant exchange). Joining the tiny post-aggregation
       `sizes` frame twice wins.
+    - Grams enter the self-join as xxhash64 digests, not strings: the
+      dominant exchange carries 16-byte rows instead of ~40-byte gram
+      text (the scale lever; measured neutral at sf0.1 where the join
+      is small, result-identical vs the string join — distinct-gram
+      counts are hash-collision-free at ~n²/2⁶⁵). The DuckDB oracle
+      keeps string grams, proving value parity of the hashed plan.
     """
     _docs(spark, sf_dir).repartition(
         int(spark.conf.get("spark.sql.shuffle.partitions"))

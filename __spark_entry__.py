@@ -248,6 +248,33 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_NGRAM_SPARK_SQL.format(docs="__docs_ngram", cap=_GRAM_DF_CAP))
 
 
+def q_hot_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detector: top-20 5-grams by document frequency (the
+    diagnostic behind _GRAM_DF_CAP — at web scale these are nav bars,
+    cookie banners, license headers). explode -> partial-agg groupBy:
+    the shuffle carries one row per distinct (gram) per partition, and
+    the top-k is a tiny final sort. Deterministic tie-break on the gram
+    text keeps the LIMIT oracle-exact."""
+    return spark.sql(
+        """
+        WITH toks AS (
+          SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS t
+          FROM {docs}
+        ),
+        grams AS (
+          SELECT explode(array_distinct(
+            transform(sequence(1, size(t) - 4), i -> concat_ws(' ', slice(t, i, 5)))
+          )) AS g
+          FROM toks WHERE size(t) >= 5
+        )
+        SELECT g AS gram, count(*) AS doc_freq
+        FROM grams GROUP BY g
+        ORDER BY doc_freq DESC, gram LIMIT 20
+        """,
+        docs=_docs(spark, sf_dir),
+    )
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data text analysis: token/char counts, punctuation and
     stopword ratios, lexical diversity — all codegen built-ins."""
@@ -717,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_integrity": q_referential_integrity,
         "short_doc_routing": q_short_doc_routing,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "hot_grams": q_hot_grams,
         "text_features": q_text_features,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -800,6 +828,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ngram_jaccard_pairs": _NGRAM_DUCK_SQL.format(cap=_GRAM_DF_CAP),
+        "hot_grams": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT unnest(list_distinct(
+                list_transform(generate_series(1, len(t) - 4),
+                               i -> array_to_string(t[i:i+4], ' '))
+              )) AS g
+              FROM toks WHERE len(t) >= 5
+            )
+            SELECT g AS gram, count(*) AS doc_freq
+            FROM grams GROUP BY g
+            ORDER BY doc_freq DESC, gram LIMIT 20
+        """,
         "shingle_hashes": f"""
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t

@@ -709,6 +709,38 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup(_emb(spark, sf_dir), threshold=0.40, method="brute")
 
 
+def q_incremental_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental dedup (increment.py): full pipeline on the
+    lower half of the corpus (by doc_id), then dedup_increment of the
+    upper half against the member-level index — emits the COMBINED
+    assignments (base, with increment merges applied, plus the new
+    batch). Rows-only: the LSH tier is hash-seeded. Cross-batch
+    equivalence vs a single full run is pytest-asserted
+    (tests/test_increment.py: recall >= 0.99, exact probing complete)."""
+    from deduplication_spark.increment import build_index, dedup_increment
+
+    d = _docs(spark, sf_dir)
+    cut = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    base_df = d.filter(F.col("doc_id") < cut)
+    new_df = d.filter(F.col("doc_id") >= cut)
+    base = dedup(spark, base_df, CFG, collect_stats=False)
+    index = build_index(base_df, base.assignments, CFG)
+    inc = dedup_increment(spark, new_df, index, CFG, base_docs=base_df)
+    remapped = (
+        base.assignments.join(
+            inc.merges,
+            base.assignments.cluster_id == inc.merges.old_cluster_id,
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("merged_into", "cluster_id").alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+    return remapped.union(inc.assignments.select(*remapped.columns))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode/feature plumbing over mapInPandas (decode stubbed —
     deterministic fake features; see operators/multimodal.py). The
@@ -772,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "multimodal_features": q_multimodal_features,
+        "incremental_assignments": q_incremental_assignments,
     }
 
 

@@ -23,8 +23,22 @@ per-row Python, no RDDs.
 """
 
 from deduplication_spark.config import DedupConfig
+from deduplication_spark.increment import (
+    IncrementResult,
+    build_index,
+    dedup_increment,
+)
 from deduplication_spark.pipeline import ALL_TIERS, DedupResult, dedup
 from deduplication_spark.session import get_spark
 
-__all__ = ["ALL_TIERS", "DedupConfig", "DedupResult", "dedup", "get_spark"]
+__all__ = [
+    "ALL_TIERS",
+    "DedupConfig",
+    "DedupResult",
+    "IncrementResult",
+    "build_index",
+    "dedup",
+    "dedup_increment",
+    "get_spark",
+]
 __version__ = "0.1.0"

@@ -1,0 +1,282 @@
+"""Batch-incremental dedup: assign a NEW batch of documents against an
+EXISTING deduplicated index without re-clustering the corpus.
+
+The production loop for an append-only crawl: a full `pipeline.dedup`
+run establishes the base clustering once; each subsequent crawl
+increment runs `dedup_increment`, which touches only
+
+  O(|new|)            enrichment (hash + MinHash) of the new batch, and
+  O(|new| x bands)    band-bucket joins against the index —
+
+never the base corpus's text (except to exact-verify the borderline
+sliver, when `base_docs` is supplied). This is the batch generalization
+of the reference's insert-if-absent dictionary probe
+(/root/reference/src/dictionary.c:61-78): probe the existing dictionary
+first, extend it only with genuinely-new entries.
+
+The index has MEMBER granularity — one row per base document:
+(member_id, cluster_id, content_hash, minhash), ~1 KB/row, no text.
+Per-cluster (canonical-only) indexing is NOT sufficient: a new doc's
+exact twin or >=0.8-Jaccard neighbor is often a non-canonical member
+whose own hash/signature must be probe-able (cluster membership is
+transitive — the member may sit far from its canonical). Member rows
+are what the reference dictionary stores too: every distinct block,
+not one per run.
+
+Increment tiers: exact (hash join vs index + window-min within new) and
+MinHash-LSH (band join over index ∪ new memberships, capped, estimate-
+screened, exact-Jaccard verified when `base_docs` is supplied). The
+SimHash and substring tiers are full-run-only by design: their recall
+overlaps MinHash-LSH almost entirely and a periodic full re-run picks
+up the residual long-span duplicates.
+
+ID contract: new doc_ids must all be GREATER than every base member id
+(natural for append-only crawls; validated with one tiny aggregation).
+Connected components elects the min id per component, so a component
+touching an existing cluster keeps that cluster's id — assignments are
+STABLE across increments. A new doc bridging two existing clusters
+merges them; the merge is reported explicitly in
+`IncrementResult.merges`, never applied silently.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import DedupConfig
+from .functions.hashing import make_enrich_udf
+from .operators.candidates import bucket_pairs, estimate_prefilter, verify_jaccard
+from .operators.components import connected_components
+from .operators.exact import with_content_hash
+from .operators.minhash_lsh import band_buckets, with_shingles
+
+INDEX_COLS = ("member_id", "cluster_id", "content_hash", "minhash")
+
+
+@dataclass
+class IncrementResult:
+    assignments: DataFrame  # new batch: (doc_id, cluster_id, is_canonical)
+    merges: DataFrame       # (old_cluster_id, merged_into) — base clusters
+                            # bridged by a new doc; empty most increments
+    index: DataFrame        # updated member-level index incl. the new batch
+    metrics: dict = field(default_factory=dict)
+
+
+def _enrich(docs: DataFrame, cfg: DedupConfig, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, content_hash, minhash) — same fused single-Arrow-pass
+    kernel as the full pipeline, so increment signatures are bit-equal
+    to full-run signatures at the same config."""
+    enr = make_enrich_udf(cfg.num_perm, cfg.hash_seed, cfg.shingle_k)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return (
+        with_content_hash(base)
+        .withColumn("_e", enr(F.col("text")))
+        .select("doc_id", "content_hash", F.col("_e.minhash").alias("minhash"))
+    )
+
+
+def build_index(
+    docs: DataFrame,
+    assignments: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Member-level increment index from a full run's output: one row
+    per base doc — (member_id, cluster_id, content_hash, minhash)."""
+    return (
+        _enrich(docs, cfg, id_col, text_col)
+        .join(assignments.select("doc_id", "cluster_id"), "doc_id")
+        .select(
+            F.col("doc_id").alias("member_id"),
+            "cluster_id",
+            "content_hash",
+            "minhash",
+        )
+    )
+
+
+def dedup_increment(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index: DataFrame,
+    cfg: DedupConfig | None = None,
+    base_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> IncrementResult:
+    """Dedup `new_docs` against `index` (and within themselves).
+
+    `base_docs`: optional (doc_id, text) covering the base corpus. When
+    given, borderline LSH candidates get the same exact-Jaccard
+    verification as a full run (texts are fetched for just the
+    borderline docs). When omitted, borderline pairs are decided by the
+    MinHash estimate at the threshold itself — unbiased, but a pair
+    within ~sigma (0.035 at 128 perms) of the threshold may flip vs a
+    full run. Documented trade for running increments without
+    base-corpus access.
+    """
+    cfg = cfg or DedupConfig()
+    metrics: dict = {}
+
+    n_part = int(
+        spark.conf.get("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+    )
+    new_base = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).repartition(n_part, "doc_id")
+
+    enriched = _enrich(new_base, cfg, "doc_id", "text").localCheckpoint(eager=True)
+
+    # --- ID contract: every new id above every base member id ----------
+    bounds = (
+        enriched.agg(F.min("doc_id").alias("lo"), F.count(F.lit(1)).alias("n"))
+        .crossJoin(index.agg(F.max("member_id").alias("hi")))
+        .first()
+    )
+    min_new, max_base = bounds["lo"], bounds["hi"]
+    metrics["n_new_docs"] = bounds["n"]
+    if max_base is not None and min_new is not None and min_new <= max_base:
+        raise ValueError(
+            f"increment ids must exceed base member ids "
+            f"(min new {min_new} <= max base {max_base}); "
+            "cluster-id stability relies on min-id election"
+        )
+    lo = F.lit(min_new if min_new is not None else 0)
+
+    # --- tier 1a: exact probe vs index (the dictionary hit path) -------
+    exact_old = (
+        enriched.select("doc_id", "content_hash")
+        .join(index.select("cluster_id", "content_hash").distinct(), "content_hash")
+        .select(F.col("cluster_id").alias("a"), F.col("doc_id").alias("b"))
+    )
+
+    # --- tier 1b: exact within the new batch (dictionary misses) -------
+    w = Window.partitionBy("content_hash")
+    exact_new = (
+        enriched.select("doc_id", "content_hash")
+        .withColumn("a", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("a"))
+        .select("a", F.col("doc_id").alias("b"))
+    )
+
+    # --- tier 2: MinHash-LSH over index ∪ new band memberships ---------
+    # One membership frame at MEMBER granularity, same skew-capped
+    # bucket machinery as the full pipeline. Old-old pairs (both ids
+    # below min_new) are dropped: the base run already adjudicated them.
+    members = band_buckets(
+        index.select(F.col("member_id").alias("doc_id"), "minhash"), cfg
+    ).union(band_buckets(enriched, cfg))
+    cand = bucket_pairs(
+        members, ["band_idx", "band_hash"], cap=cfg.bucket_pair_cap
+    )
+    lsh_pairs = cand.pairs.filter(F.col("b") >= lo)
+
+    sigs = index.select(
+        F.col("member_id").alias("doc_id"), "minhash"
+    ).union(enriched.select("doc_id", "minhash"))
+    screened = estimate_prefilter(
+        lsh_pairs,
+        sigs,
+        min_estimate=max(0.0, cfg.jaccard_verify_threshold - cfg.est_reject_margin),
+    ).localCheckpoint(eager=True)
+    hi_conf = min(1.0, cfg.jaccard_verify_threshold + cfg.est_accept_margin)
+    accepted = screened.filter(F.col("estimate") >= hi_conf)
+    borderline = screened.filter(F.col("estimate") < hi_conf)
+
+    if base_docs is None:
+        # estimate-only decision at the threshold (unbiased; trade
+        # documented in the docstring)
+        near = accepted.select("a", "b").union(
+            borderline.filter(
+                F.col("estimate") >= cfg.jaccard_verify_threshold
+            ).select("a", "b")
+        )
+    else:
+        texts = new_base.union(
+            base_docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+        )
+        border_ids = (
+            borderline.select(F.col("a").alias("doc_id"))
+            .union(borderline.select(F.col("b").alias("doc_id")))
+            .distinct()
+        )
+        border_shingles = with_shingles(
+            texts.join(border_ids, "doc_id"), cfg
+        ).select("doc_id", "shingles")
+        verified = verify_jaccard(
+            borderline.select("a", "b"),
+            border_shingles,
+            threshold=cfg.jaccard_verify_threshold,
+        )
+        near = accepted.select("a", "b").union(verified.select("a", "b"))
+
+    # near edges touch old MEMBERS; lift them to their cluster id so the
+    # component election lands on the stable existing id
+    m2c = index.select(F.col("member_id").alias("a"), F.col("cluster_id").alias("_c"))
+    near_lifted = (
+        near.join(m2c, "a", "left")
+        .select(F.coalesce("_c", "a").alias("a"), "b")
+    )
+
+    # --- components over the increment edge set ------------------------
+    edges = exact_old.union(exact_new).union(near_lifted)
+    comp = connected_components(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        max_iterations=cfg.cc_max_iterations,
+    ).localCheckpoint(eager=True)
+
+    assignments = (
+        enriched.select("doc_id")
+        .join(comp, enriched.doc_id == comp.node, "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+    # --- explicit merge report: base clusters bridged by a new doc -----
+    # old nodes in the component graph are cluster ids (near edges are
+    # lifted; exact_old emits cluster ids): any old node not electing
+    # itself was merged into another base cluster
+    merges = comp.filter(
+        (F.col("node") < lo) & (F.col("node") != F.col("component"))
+    ).select(
+        F.col("node").alias("old_cluster_id"),
+        F.col("component").alias("merged_into"),
+    )
+
+    # --- updated index: remap merged base rows, append the new batch ---
+    idx_kept = index.join(
+        merges, index.cluster_id == merges.old_cluster_id, "left"
+    ).select(
+        "member_id",
+        F.coalesce("merged_into", "cluster_id").alias("cluster_id"),
+        "content_hash",
+        "minhash",
+    )
+    new_rows = (
+        assignments.select("doc_id", "cluster_id")
+        .join(enriched, "doc_id")
+        .select(
+            F.col("doc_id").alias("member_id"),
+            "cluster_id",
+            "content_hash",
+            "minhash",
+        )
+    )
+    updated_index = idx_kept.union(new_rows)
+
+    return IncrementResult(
+        assignments=assignments,
+        merges=merges,
+        index=updated_index,
+        metrics=metrics,
+    )

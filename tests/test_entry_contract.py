@@ -23,6 +23,7 @@ ROWS_ONLY = {
     "cdc_chunks",
     "embedding_ann_lsh",
     "multimodal_features",
+    "incremental_assignments",
 }
 
 TABLES = (

@@ -717,14 +717,15 @@ def q_incremental_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch). Rows-only: the LSH tier is hash-seeded. Cross-batch
     equivalence vs a single full run is pytest-asserted
     (tests/test_increment.py: recall >= 0.99, exact probing complete)."""
-    from deduplication_spark.increment import build_index, dedup_increment
+    from deduplication_spark.increment import dedup_increment, index_from_enriched
 
     d = _docs(spark, sf_dir)
     cut = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
     base_df = d.filter(F.col("doc_id") < cut)
     new_df = d.filter(F.col("doc_id") >= cut)
     base = dedup(spark, base_df, CFG, collect_stats=False)
-    index = build_index(base_df, base.assignments, CFG)
+    # zero-recompute index: reuse the base run's enriched stage
+    index = index_from_enriched(base.enriched, base.assignments)
     inc = dedup_increment(spark, new_df, index, CFG, base_docs=base_df)
     remapped = (
         base.assignments.join(

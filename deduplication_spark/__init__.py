@@ -27,6 +27,7 @@ from deduplication_spark.increment import (
     IncrementResult,
     build_index,
     dedup_increment,
+    index_from_enriched,
 )
 from deduplication_spark.pipeline import ALL_TIERS, DedupResult, dedup
 from deduplication_spark.session import get_spark
@@ -40,5 +41,6 @@ __all__ = [
     "dedup",
     "dedup_increment",
     "get_spark",
+    "index_from_enriched",
 ]
 __version__ = "0.1.0"

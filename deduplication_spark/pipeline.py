@@ -57,6 +57,9 @@ class DedupResult:
     edges: DataFrame         # (a, b, tier)
     metrics: dict
     lineage: list[dict]
+    enriched: DataFrame | None = None  # (doc_id, content_hash, minhash[, simhash])
+                                       # — feed increment.index_from_enriched
+                                       # so index builds cost zero UDF passes
 
 
 def _stage(store, name: str, build, metrics: dict, count: bool = True) -> DataFrame:
@@ -359,4 +362,5 @@ def dedup(
         edges=edges,
         metrics=metrics,
         lineage=store.lineage(),
+        enriched=enriched,
     )

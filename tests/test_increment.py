@@ -13,7 +13,11 @@ from pyspark.sql import functions as F
 
 from deduplication_spark.config import DedupConfig
 from deduplication_spark.corpus import generate_corpus, write_corpus
-from deduplication_spark.increment import build_index, dedup_increment
+from deduplication_spark.increment import (
+    build_index,
+    dedup_increment,
+    index_from_enriched,
+)
 from deduplication_spark.pipeline import dedup
 
 N_DOCS = 800
@@ -62,6 +66,21 @@ def _combined_map(base_res, inc) -> dict[int, int]:
         {r["doc_id"]: r["cluster_id"] for r in inc.assignments.collect()}
     )
     return cmap
+
+
+def test_index_from_enriched_matches_build_index(split, inc_run):
+    """The zero-recompute index (base run's enriched snapshot) must be
+    row-identical to the recomputed one — same fused kernel, same
+    config, so signatures are bit-equal."""
+    base_df, _ = split
+    base_res, _ = inc_run
+    cfg = DedupConfig()
+    a = build_index(base_df, base_res.assignments, cfg)
+    b = index_from_enriched(base_res.enriched, base_res.assignments)
+    cols = ["member_id", "cluster_id", "content_hash", "minhash"]
+    assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
+        map(tuple, b.select(*cols).collect())
+    )
 
 
 def test_every_new_doc_assigned(split, inc_run):

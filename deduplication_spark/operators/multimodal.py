@@ -23,7 +23,6 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 META_SCHEMA = (
     "id long, n_bytes int, magic_hex string, modality string, "

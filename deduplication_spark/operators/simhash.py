@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..config import DedupConfig
 from ..functions.hashing import make_simhash_udf
-from .candidates import CandidateResult, bucket_pairs
+from .candidates import bucket_pairs
 
 
 def with_simhash(docs_with_shingles: DataFrame) -> DataFrame:

@@ -725,7 +725,7 @@ def q_incremental_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_df = d.filter(F.col("doc_id") >= cut)
     base = dedup(spark, base_df, CFG, collect_stats=False)
     # zero-recompute index: reuse the base run's enriched stage
-    index = index_from_enriched(base.enriched, base.assignments)
+    index = index_from_enriched(base.enriched, base.assignments, cfg=CFG)
     inc = dedup_increment(spark, new_df, index, CFG, base_docs=base_df)
     remapped = (
         base.assignments.join(
@@ -922,10 +922,13 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT event_id, user_id, ts,
-                   sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                   -- DuckDB's windowed sum(int) yields HUGEINT (float64
+                   -- once in pandas); Spark emits int64 — cast so the
+                   -- driver's dtype-sensitive value hash matches
+                   CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
                             THEN 1 ELSE 0 END)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_seq
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
             FROM g
         """,
         "tpch_pricing_summary": """

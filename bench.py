@@ -80,22 +80,37 @@ def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
         "minhash_signatures",
         "cdc_chunks",
     ]
+    # Best-of-N per query: this host has co-tenants with a documented
+    # ~2x wall-time spread (BENCH/BASELINE.md), so a single shot cannot
+    # distinguish a regression from weather. Minimum over fresh actions
+    # is the estimator tools/scaling_bench.py already uses; the spread
+    # is reported alongside so the noise level is visible per round.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in headline:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        spread[name] = round(max(runs) - min(runs), 3)
 
-    # flagship: full tiered dedup pipeline, end to end
-    t0 = time.time()
+    # flagship: full tiered dedup pipeline, end to end (same best-of-N)
     from deduplication_spark.pipeline import dedup
 
-    res = dedup(
-        spark, spark.read.parquet(docs_path), DedupConfig(), collect_stats=False
-    )
-    res.assignments.write.format("noop").mode("overwrite").save()
-    pipeline_sec = round(time.time() - t0, 3)
+    pipe_runs = []
+    for _ in range(repeats):
+        t0 = time.time()
+        res = dedup(
+            spark, spark.read.parquet(docs_path), DedupConfig(), collect_stats=False
+        )
+        res.assignments.write.format("noop").mode("overwrite").save()
+        pipe_runs.append(time.time() - t0)
+    pipeline_sec = round(min(pipe_runs), 3)
     timings["dedup_pipeline"] = pipeline_sec
+    spread["dedup_pipeline"] = round(max(pipe_runs) - min(pipe_runs), 3)
     n_clusters = res.clusters.count()
 
     out = {
@@ -103,6 +118,8 @@ def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
         "value": pipeline_sec,
         "unit": "sec",
         "queries": timings,
+        "query_spread_sec": spread,
+        "bench_repeats": repeats,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / pipeline_sec, 1),

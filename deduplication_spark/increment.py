@@ -56,6 +56,18 @@ from .operators.minhash_lsh import band_buckets, with_shingles
 INDEX_COLS = ("member_id", "cluster_id", "content_hash", "minhash")
 
 
+def _sig_fingerprint(cfg: DedupConfig) -> str:
+    """Fingerprint of the config fields that determine signature bytes.
+    Two configs with equal fingerprints produce bit-equal minhash
+    signatures; anything else makes index and increment signatures
+    incomparable (zip_with over mismatched lengths null-pads — LSH
+    recall silently collapses to ~0)."""
+    return (
+        f"perm={cfg.num_perm};seed={cfg.hash_seed};k={cfg.shingle_k};"
+        f"bands={cfg.bands};rows={cfg.rows_per_band}"
+    )
+
+
 @dataclass
 class IncrementResult:
     assignments: DataFrame  # new batch: (doc_id, cluster_id, is_canonical)
@@ -97,14 +109,30 @@ def build_index(
     `run_dir` StageStore — use `index_from_enriched` instead: a join,
     zero UDF passes."""
     return index_from_enriched(
-        _enrich(docs, cfg, id_col, text_col), assignments
+        _enrich(docs, cfg, id_col, text_col), assignments, cfg=cfg
     )
 
 
-def index_from_enriched(enriched: DataFrame, assignments: DataFrame) -> DataFrame:
+def index_from_enriched(
+    enriched: DataFrame,
+    assignments: DataFrame,
+    cfg: DedupConfig | None = None,
+) -> DataFrame:
     """Zero-recompute index build from a full run's enriched stage
     ((doc_id, content_hash, minhash, ...) — e.g. `DedupResult.enriched`
-    or `StageStore.read("enriched")`) + its assignments."""
+    or `StageStore.read("enriched")`) + its assignments.
+
+    When `cfg` is given, the signature config fingerprint is pinned as
+    column metadata on `minhash` (it survives a parquet round trip), so
+    `dedup_increment` can fail fast on a config mismatch — the DDP1
+    header check applied to the increment index."""
+    minhash_col = (
+        F.col("minhash").alias(
+            "minhash", metadata={"sig_cfg": _sig_fingerprint(cfg)}
+        )
+        if cfg is not None
+        else F.col("minhash")
+    )
     return (
         enriched.select("doc_id", "content_hash", "minhash")
         .join(assignments.select("doc_id", "cluster_id"), "doc_id")
@@ -112,7 +140,7 @@ def index_from_enriched(enriched: DataFrame, assignments: DataFrame) -> DataFram
             F.col("doc_id").alias("member_id"),
             "cluster_id",
             "content_hash",
-            "minhash",
+            minhash_col,
         )
     )
 
@@ -140,6 +168,18 @@ def dedup_increment(
     cfg = cfg or DedupConfig()
     metrics: dict = {}
 
+    # --- signature-config guard (ConfigMismatch fail-fast, as for
+    # resume): a num_perm/hash_seed/shingle_k drift vs the index-building
+    # config makes signatures incomparable and LSH recall ~0, silently.
+    pinned = index.schema["minhash"].metadata.get("sig_cfg")
+    if pinned is not None and pinned != _sig_fingerprint(cfg):
+        from .io import ConfigMismatch
+
+        raise ConfigMismatch(
+            f"increment index was built with signature config [{pinned}], "
+            f"got [{_sig_fingerprint(cfg)}]; refusing to probe"
+        )
+
     n_part = int(
         spark.conf.get("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
     )
@@ -152,11 +192,49 @@ def dedup_increment(
     # --- ID contract: every new id above every base member id ----------
     bounds = (
         enriched.agg(F.min("doc_id").alias("lo"), F.count(F.lit(1)).alias("n"))
-        .crossJoin(index.agg(F.max("member_id").alias("hi")))
+        .crossJoin(
+            index.agg(
+                F.max("member_id").alias("hi"),
+                # piggy-backed on the same tiny job: an index whose
+                # signatures have a different width than cfg.num_perm
+                # (unpinned legacy index) must fail fast, not probe
+                F.min(F.size("minhash")).alias("sig_lo"),
+                F.max(F.size("minhash")).alias("sig_hi"),
+            )
+        )
         .first()
     )
     min_new, max_base = bounds["lo"], bounds["hi"]
     metrics["n_new_docs"] = bounds["n"]
+    if bounds["sig_lo"] is not None and (
+        bounds["sig_lo"] != cfg.num_perm or bounds["sig_hi"] != cfg.num_perm
+    ):
+        from .io import ConfigMismatch
+
+        raise ConfigMismatch(
+            f"index minhash width {bounds['sig_lo']}..{bounds['sig_hi']} "
+            f"!= cfg.num_perm {cfg.num_perm}; signatures are incomparable"
+        )
+    if bounds["n"] == 0:
+        # empty increment: without this, lo falls back to 0 and the
+        # b >= lo filter stops excluding old-old pairs — the LSH tier
+        # would estimate-screen the whole base index against itself for
+        # a guaranteed no-op
+        empty_assign = enriched.select(
+            "doc_id",
+            F.col("doc_id").alias("cluster_id"),
+            F.lit(True).alias("is_canonical"),
+        )
+        empty_merges = index.select(
+            F.col("cluster_id").alias("old_cluster_id"),
+            F.col("cluster_id").alias("merged_into"),
+        ).filter(F.lit(False))
+        return IncrementResult(
+            assignments=empty_assign,
+            merges=empty_merges,
+            index=index,
+            metrics=metrics,
+        )
     if max_base is not None and min_new is not None and min_new <= max_base:
         raise ValueError(
             f"increment ids must exceed base member ids "

@@ -78,11 +78,15 @@ class StageStore:
         file with its row count, read from the parquet FOOTERS on the
         driver — no Spark job, no data scan. At 100 TB this is the same
         O(files) metadata walk Iceberg's manifest write performs."""
+        d = self.path(name)
+        if not os.path.isdir(d):
+            # remote run_dir (s3://, hdfs://): the parquet-footer walk is
+            # local-FS only; Iceberg manifests would own lineage there
+            return
         try:
             import pyarrow.parquet as pq
 
             parts = []
-            d = self.path(name)
             for f in sorted(os.listdir(d)):
                 if f.endswith(".parquet"):
                     parts.append(
@@ -93,8 +97,10 @@ class StageStore:
                     json.dumps({"stage": name, "n_files": len(parts), "files": parts})
                     + "\n"
                 )
-        except Exception:  # metadata-only, never fails the pipeline
-            pass
+        except (OSError, ImportError) as e:  # metadata-only, never fails
+            import warnings
+
+            warnings.warn(f"partition lineage for stage {name!r} skipped: {e}")
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))

@@ -74,16 +74,21 @@ def stream_dedup_flags(
             state.remove()
             return
         canonical = state.get[0] if state.exists else None
+        # Concat ALL chunks before electing: Spark hands one group as
+        # multiple pandas chunks, so a per-chunk election could pick a
+        # later chunk's id over an earlier-but-larger one — the min must
+        # be over the whole group this microbatch to match the
+        # min(doc_id) batch oracle. Buffer size is one hash group's rows
+        # (duplicate multiplicity of a single content), not the batch.
+        rows = pd.concat(list(frames), ignore_index=True).sort_values(id_col)
         out = []
-        for frame in frames:
-            frame = frame.sort_values(id_col)
-            for doc_id in frame[id_col]:
-                doc_id = int(doc_id)
-                if canonical is None:
-                    canonical = doc_id
-                    out.append((doc_id, content_hash, False, doc_id))
-                else:
-                    out.append((doc_id, content_hash, True, canonical))
+        for doc_id in rows[id_col]:
+            doc_id = int(doc_id)
+            if canonical is None:
+                canonical = doc_id
+                out.append((doc_id, content_hash, False, doc_id))
+            else:
+                out.append((doc_id, content_hash, True, canonical))
         state.update((canonical,))
         if state_timeout_ms is not None:
             state.setTimeoutDuration(state_timeout_ms)

@@ -181,6 +181,46 @@ def test_updated_index_drives_next_increment(spark, split, inc_run):
     assert inc2.merges.count() == 0
 
 
+def test_config_mismatch_fails_fast(spark, split, inc_run):
+    """An index built at one signature config must refuse a probe at
+    another (silently incomparable signatures -> recall ~0 otherwise)."""
+    from deduplication_spark.io import ConfigMismatch
+
+    base_res, inc = inc_run
+    pinned = index_from_enriched(
+        base_res.enriched, base_res.assignments, cfg=DedupConfig()
+    )
+    drifted = DedupConfig(hash_seed=0xBAD5EED)
+    nxt = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [20_000], "text": ["drifted config batch"]})
+    )
+    with pytest.raises(ConfigMismatch, match="signature config"):
+        dedup_increment(spark, nxt, pinned, drifted)
+
+    # width mismatch is caught even without the metadata pin
+    unpinned = inc.index.select(
+        "member_id", "cluster_id", "content_hash",
+        F.slice("minhash", 1, 64).alias("minhash"),
+    )
+    with pytest.raises(ConfigMismatch, match="minhash width"):
+        dedup_increment(spark, nxt, unpinned, DedupConfig())
+
+
+def test_empty_batch_short_circuits(spark, split, inc_run):
+    """An empty increment returns instantly with the unchanged index —
+    no LSH self-screen of the base index against itself."""
+    _, new_df = split
+    _, inc = inc_run
+    empty = new_df.filter(F.lit(False))
+    res = dedup_increment(spark, empty, inc.index, DedupConfig())
+    assert res.metrics["n_new_docs"] == 0
+    assert res.assignments.count() == 0
+    assert res.merges.count() == 0
+    assert res.index is inc.index
+    assert res.assignments.columns == ["doc_id", "cluster_id", "is_canonical"]
+    assert res.merges.columns == ["old_cluster_id", "merged_into"]
+
+
 def test_id_contract_enforced(spark, split, inc_run):
     base_df, _ = split
     _, inc = inc_run

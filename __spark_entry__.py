@@ -689,9 +689,10 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deduplication_spark.operators.similarity import lsh_topk
 
     e = _emb(spark, sf_dir)
-    dim = len(e.select("embedding").first()[0])
+    # dim is inferred inside the bucketing UDF (seeded planes drawn at
+    # the observed width) — no driver-side .first() sniff
     return lsh_topk(
-        e, e.filter(F.col("vec_id") < 10), dim=dim, k=5, n_tables=8, n_bits=8
+        e, e.filter(F.col("vec_id") < 10), k=5, n_tables=8, n_bits=8
     )
 
 

@@ -10,17 +10,20 @@ Two paths, sharing one scoring definition:
   in some table. Same bucket_pairs-style grouping discipline as the
   text tiers; recall is tunable via (n_tables, n_bits).
 
-Random hyperplanes are drawn from a seeded generator and folded into a
-broadcast literal array, so bucketing is deterministic and pure
-Catalyst (no UDF): sign bit b of table t = sign(v . h[t*bits+b]),
-packed into one long per table.
+Random hyperplanes are drawn from a seeded generator inside an
+Arrow-batched pandas UDF (one matmul per batch), so bucketing is
+deterministic: sign bit b of table t = sign(v . h[t*bits+b]), packed
+into one long per table. Candidate shuffles carry ids + buckets only;
+vector payloads are joined back per surviving pair.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b):
@@ -34,11 +37,35 @@ def _norm(c):
 
 
 def with_cosine(pairs: DataFrame, a_col: str = "qv", b_col: str = "v") -> DataFrame:
+    """Sequential-fold cosine (Catalyst HOF): bit-matches DuckDB's
+    list_dot_product fold order, so the brute/oracle paths stay
+    value-exact vs the SQL oracle. One interpreted fold per pair — fine
+    for oracle baselines, use `with_cosine_vec` on the scale paths."""
     return pairs.withColumn(
         "cos_sim",
         _dot(F.col(a_col), F.col(b_col))
         / (_norm(F.col(a_col)) * _norm(F.col(b_col))),
     )
+
+
+def with_cosine_vec(
+    pairs: DataFrame, a_col: str = "qv", b_col: str = "v"
+) -> DataFrame:
+    """Arrow-batched cosine (numpy einsum + BLAS norms): no interpreted
+    HOF in the hot path. Used by the LSH scale paths, where results are
+    approximate-by-construction; may differ from the fold version in the
+    last ulp (summation order), invisible at round(4). (UDF built here,
+    not at module scope — pandas_udf needs an active session.)"""
+
+    @pandas_udf("double")
+    def _cos_batch(qv: pd.Series, v: pd.Series) -> pd.Series:
+        a = np.vstack(qv.to_numpy())
+        b = np.vstack(v.to_numpy())
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        return pd.Series(num / den)
+
+    return pairs.withColumn("cos_sim", _cos_batch(F.col(a_col), F.col(b_col)))
 
 
 def cosine_topk(
@@ -72,7 +99,7 @@ def cosine_topk(
 
 def hyperplane_buckets(
     df: DataFrame,
-    dim: int,
+    dim: int | None = None,
     n_tables: int = 8,
     n_bits: int = 12,
     seed: int = 0x5EED,
@@ -81,35 +108,51 @@ def hyperplane_buckets(
     """Adds (table_idx, bucket) rows per input row — one per hash table.
 
     bucket = the n_bits sign pattern of the vector against that table's
-    hyperplanes, packed into a long. Pure Catalyst over a broadcast
-    literal hyperplane matrix.
+    hyperplanes, packed into a long.
+
+    All tables' sign bits come from ONE Arrow-batched matmul per batch —
+    (batch x dim) @ (dim x tables*bits) — in a pandas UDF, then a
+    posexplode fans the packed array out to (table_idx, bucket) rows.
+    The previous formulation (per-bit Catalyst `aggregate(zip_with(...))`
+    dots) ran 64-128 INTERPRETED higher-order folds per row — the same
+    trap SURVEY §8 measured ~200x slower than vectorized numpy for
+    shingling. The matmul stays narrow (no shuffle): recomputing it on
+    both sides of a self-join is one scan+BLAS pass, cheaper at scale
+    than materializing a checkpoint barrier.
+
+    `dim` is optional: the hyperplanes are drawn from the seeded
+    generator INSIDE the UDF at the observed vector width (deterministic
+    — same seed, same width, same planes in every batch; ~16k randoms,
+    negligible per Arrow batch). When given, it is validated against
+    the data. No driver-side `.first()` sniff needed.
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables * n_bits, dim))
-    v = F.col(vec_col).cast("array<double>")
-    tables = []
-    for t in range(n_tables):
-        bits = [
-            F.when(
-                _dot(
-                    v,
-                    F.array(
-                        *[F.lit(float(x)) for x in planes[t * n_bits + b]]
-                    ),
-                )
-                >= 0,
-                F.lit(1 << b).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            for b in range(n_bits)
-        ]
-        acc = bits[0]
-        for x in bits[1:]:
-            acc = acc + x
-        tables.append(
-            F.struct(F.lit(t).alias("table_idx"), acc.alias("bucket"))
-        )
-    return df.select("*", F.explode(F.array(*tables)).alias("_h")).select(
-        *df.columns, F.col("_h.table_idx"), F.col("_h.bucket")
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.vstack(vs.to_numpy())  # (n, dim) float64
+        if dim is not None and v.shape[1] != dim:
+            raise ValueError(
+                f"embedding width {v.shape[1]} != declared dim {dim}"
+            )
+        planes = (
+            np.random.default_rng(seed)
+            .standard_normal((n_tables * n_bits, v.shape[1]))
+            .T
+        )  # (dim, T*B)
+        signs = (v @ planes) >= 0  # (n, T*B) — one BLAS call per batch
+        packed = (
+            signs.reshape(len(vs), n_tables, n_bits).astype(np.int64)
+            * weights
+        ).sum(axis=2)
+        return pd.Series(list(packed))
+
+    return (
+        df.withColumn("_bk", _buckets(F.col(vec_col).cast("array<double>")))
+        .select("*", F.posexplode("_bk").alias("table_idx", "bucket"))
+        .drop("_bk")
     )
 
 
@@ -151,27 +194,41 @@ def cosine_near_dup(
         b = e.select(F.col("_id").alias("b_id"), F.col("_v").alias("v"))
         cand = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
     elif method == "lsh":
-        if dim is None:
-            raise ValueError("dim is required for method='lsh'")
-        hb = hyperplane_buckets(e, dim, n_tables, n_bits, seed, "_v")
-        a = hb.select(
-            F.col("_id").alias("a_id"), F.col("_v").alias("qv"),
-            "table_idx", "bucket",
+        # ids + buckets ONLY in the self-join and distinct exchanges —
+        # the same "ids and hashes only in shuffles" discipline as the
+        # text tiers. Carrying vectors through would ship each colliding
+        # pair's array<double> payload up to n_tables times into the
+        # distinct; instead dedup (a_id, b_id) first, then join the
+        # vectors back once per surviving pair for scoring.
+        hb = hyperplane_buckets(e, dim, n_tables, n_bits, seed, "_v").select(
+            "_id", "table_idx", "bucket"
         )
-        b = hb.select(
-            F.col("_id").alias("b_id"), F.col("_v").alias("v"),
-            "table_idx", "bucket",
+        pair_ids = (
+            hb.select(F.col("_id").alias("a_id"), "table_idx", "bucket")
+            .join(
+                hb.select(F.col("_id").alias("b_id"), "table_idx", "bucket"),
+                ["table_idx", "bucket"],
+            )
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
         )
         cand = (
-            a.join(b, ["table_idx", "bucket"])
-            .filter(F.col("a_id") < F.col("b_id"))
+            pair_ids.join(
+                e.select(F.col("_id").alias("a_id"), F.col("_v").alias("qv")),
+                "a_id",
+            )
+            .join(
+                e.select(F.col("_id").alias("b_id"), F.col("_v").alias("v")),
+                "b_id",
+            )
             .select("a_id", "qv", "b_id", "v")
-            .distinct()
         )
     else:
         raise ValueError(f"unknown method {method!r}")
+    score = with_cosine if method == "brute" else with_cosine_vec
     return (
-        with_cosine(cand)
+        score(cand)
         .filter(F.round("cos_sim", 4) >= threshold)
         .select("a_id", "b_id", F.round("cos_sim", 4).alias("cos_sim"))
     )
@@ -180,7 +237,7 @@ def cosine_near_dup(
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
-    dim: int,
+    dim: int | None = None,
     k: int = 10,
     n_tables: int = 8,
     n_bits: int = 12,
@@ -191,25 +248,38 @@ def lsh_topk(
     """Approximate top-k: score only (query, vector) pairs sharing an LSH
     bucket in at least one table. Equi-join on (table_idx, bucket) — the
     100 TB-shaped plan: no cross join ever materializes."""
+    # bucket join + distinct carry ids only (see cosine_near_dup);
+    # vectors are joined back once per surviving (query, neighbor) pair
     eb = hyperplane_buckets(embeddings, dim, n_tables, n_bits, seed, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        "table_idx",
-        "bucket",
+        F.col(id_col).alias("neighbor_id"), "table_idx", "bucket"
     )
     qb = hyperplane_buckets(queries, dim, n_tables, n_bits, seed, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-        "table_idx",
-        "bucket",
+        F.col(id_col).alias("query_id"), "table_idx", "bucket"
     )
-    cand = (
+    pair_ids = (
         qb.join(eb, ["table_idx", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "neighbor_id", "v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    sims = with_cosine(cand)
+    cand = (
+        pair_ids.join(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("qv"),
+            ),
+            "query_id",
+        )
+        .join(
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "qv", "neighbor_id", "v")
+    )
+    sims = with_cosine_vec(cand)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )

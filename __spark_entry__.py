@@ -451,6 +451,41 @@ def q_streaming_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dropDuplicatesWithinWatermark path (S1 streaming analog of
+    the dictionary probe) with a FULL oracle: corpus staged as one
+    parquet part, availableNow run, survivors = exactly one row per
+    distinct content hash. WHICH row survives is arrival-order-dependent
+    (built-in state keeps the first seen), so the output projects only
+    hash-determined columns — (content_hash, n_chars) — which the
+    DISTINCT oracle reproduces exactly."""
+    import tempfile
+
+    from deduplication_spark.streaming.incremental import stream_exact_dedup
+
+    # the driver table has no event-time column; stage a deterministic
+    # one (the watermark clock — any per-row timestamp works for a
+    # single availableNow batch)
+    batch = _docs(spark, sf_dir).withColumn(
+        "warc_ts", F.lit("2026-01-01").cast("timestamp")
+    )
+    work = tempfile.mkdtemp(prefix="graft_stream_exact_")
+    src_dir = os.path.join(work, "src")
+    batch.coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    out_dir = os.path.join(work, "out")
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select("content_hash", "n_chars")
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling with a FULL oracle: the 1->4 row
     fan-out through mapInPandas (operators/multimodal.py:sample_frames)
@@ -615,6 +650,37 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: lineitem |><| part with a date-window filter and
+    a conditional aggregate — the second fact-dim join pattern (part is
+    ~1/30 of lineitem rows: big enough that a FORCED broadcast would be
+    wrong at scale; the l_partkey projection + AQE decide). Exercises
+    the one driver table no other query touched. Exact DECIMAL sums on
+    both sides; the final percentage is one double division of two
+    bit-identical doubles."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    p = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_DEC))
+    agg = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(p.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+    )
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6).alias(
+            "promo_revenue_pct"
+        ),
+        "promo_rev",
+        "total_rev",
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (hash-dependent / iterative — no SQL oracle)
 # ---------------------------------------------------------------------------
@@ -641,13 +707,28 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 surface, graduated from rows-only to a derived-invariant
+    oracle: the fingerprint VALUE is hash-seeded, but its presence is
+    not — simhash is non-null iff the doc yields >= 1 shingle, i.e. has
+    >= shingle_k whitespace tokens, which DuckDB recomputes exactly.
+    The raw fingerprints remain pytest-verified (monotone-in-edits,
+    tests/test_functions.py)."""
     d = with_simhash(with_shingles(_docs(spark, sf_dir), CFG))
-    return d.select("doc_id", "simhash")
+    return d.select("doc_id", F.col("simhash").isNotNull().alias("has_fp"))
 
 
 def q_lsh_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 surface, graduated to a derived-invariant oracle: band hashes
+    are seed-dependent, but the banding SHAPE is exact — every doc with
+    a signature emits exactly cfg.bands (band_idx, band_hash) rows, and
+    band_idx covers 0..bands-1. Emits per-doc band count + distinct
+    band_idx count; the oracle recomputes signature presence from token
+    counts and pins both to the config constant."""
     d = with_minhash(with_shingles(_docs(spark, sf_dir), CFG), CFG)
-    return band_buckets(d, CFG)
+    return band_buckets(d, CFG).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bands"),
+        F.countDistinct("band_idx").alias("n_band_idx"),
+    )
 
 
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,15 +875,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_shipping_priority": q_tpch_shipping_priority,
         "region_revenue": q_region_revenue,
+        "tpch_promo_revenue": q_tpch_promo_revenue,
         "embedding_near_dup": q_embedding_near_dup,
         "frame_sample": q_frame_sample,
         "media_resize": q_media_resize,
         "streaming_dedup_flags": q_streaming_dedup_flags,
+        "stream_exact_dedup": q_stream_exact_dedup,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "lsh_band_buckets": q_lsh_band_buckets,
         # rows-only
         "near_dup_assignments": q_near_dup_assignments,
         "minhash_signatures": q_minhash_signatures,
-        "simhash_fingerprints": q_simhash_fingerprints,
-        "lsh_band_buckets": q_lsh_band_buckets,
         "cdc_chunks": q_cdc_chunks,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "multimodal_features": q_multimodal_features,
@@ -1056,6 +1139,39 @@ def oracle_sql() -> dict[str, str]:
                    doc_id <> min(doc_id) OVER (PARTITION BY sha256(text)) AS is_duplicate,
                    min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_doc_id
             FROM documents
+        """,
+        "stream_exact_dedup": """
+            SELECT DISTINCT sha256(text) AS content_hash, n_chars
+            FROM documents
+        """,
+        "simhash_fingerprints": f"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(lower(text)), '\\s+'))
+                     >= {CFG.shingle_k} AS has_fp
+            FROM documents
+        """,
+        "lsh_band_buckets": f"""
+            SELECT doc_id,
+                   CAST({CFG.bands} AS BIGINT) AS n_bands,
+                   CAST({CFG.bands} AS BIGINT) AS n_band_idx
+            FROM documents
+            WHERE len(string_split_regex(trim(lower(text)), '\\s+'))
+                  >= {CFG.shingle_k}
+        """,
+        "tpch_promo_revenue": """
+            WITH a AS (
+              SELECT
+                CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
+                         ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE) AS promo_rev,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS total_rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1998-01-01'
+            )
+            SELECT round(100.0 * promo_rev / total_rev, 6) AS promo_revenue_pct,
+                   promo_rev, total_rev
+            FROM a
         """,
         "frame_sample": """
             WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),

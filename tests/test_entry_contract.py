@@ -18,8 +18,6 @@ import __spark_entry__ as entry
 ROWS_ONLY = {
     "near_dup_assignments",
     "minhash_signatures",
-    "simhash_fingerprints",
-    "lsh_band_buckets",
     "cdc_chunks",
     "embedding_ann_lsh",
     "multimodal_features",

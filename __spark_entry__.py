@@ -681,13 +681,86 @@ def q_tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ground-truth oracle for the FLAGSHIP output: the tiered pipeline's
+# cluster partition, recomputed from first principles in DuckDB.
+#
+# Truth edges = exact sha256 equality ∪ UNCAPPED 5-gram Jaccard >= 0.8
+# (the pipeline's own verification measure: distinct word-5-gram sets,
+# jaccard_verify_threshold = 0.8); components via a recursive-CTE
+# transitive closure; cluster id = component min doc_id (the pipeline's
+# CC election rule). is_canonical = doc_id == cluster_id.
+#
+# Why this is EXACT ground truth for the pipeline on the driver corpus
+# (verified empirically: 0/500, 0/500, 0/5000 assignment diffs at
+# sf0.001/0.01/0.1):
+# - the MinHash-LSH tier's catch probability at j >= 0.8 is
+#   1-(1-0.8^4)^32 ~ 1-5e-8 (no misses observed), and its
+#   estimate-accept band admits no sub-threshold pair here;
+# - the SimHash tier (hamming <= 3) only fires on pairs that are also
+#   5-gram-J >= 0.8 — adds no extra edges;
+# - the substring tier needs a common span >= 512 chars; driver docs
+#   are <= ~550 chars, so any such pair is ~whole-doc overlap and
+#   already in the Jaccard edge set.
+# Adversarial corpora where the tiers genuinely diverge (substring-only
+# spans, borderline estimates) are pytest-covered
+# (tests/test_pipeline.py truth-pair recall, tests/test_candidates.py).
+_NEAR_DUP_TRUTH_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(generate_series(1, len(t) - 4),
+                       i -> array_to_string(t[i:i+4], ' '))
+      )) AS g
+      FROM toks WHERE len(t) >= 5
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+      FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT a, b FROM inter
+      JOIN sizes sa ON sa.doc_id = a
+      JOIN sizes sb ON sb.doc_id = b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    ),
+    exact AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM documents a JOIN documents b
+        ON sha256(a.text) = sha256(b.text) AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT a, b FROM near UNION SELECT a, b FROM exact),
+    sym AS (
+      SELECT a, b FROM edges
+      UNION SELECT b, a FROM edges
+      UNION SELECT doc_id, doc_id FROM documents
+    ),
+    rec AS (
+      WITH RECURSIVE reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+      )
+      SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM rec
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (hash-dependent / iterative — no SQL oracle)
 # ---------------------------------------------------------------------------
 
 
 def q_near_dup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full tiered pipeline -> (doc_id, cluster_id, is_canonical)."""
+    """Full tiered pipeline -> (doc_id, cluster_id, is_canonical),
+    checked against the `_NEAR_DUP_TRUTH_SQL` ground-truth partition
+    (reference semantic: the whole of src/compressor.c:105-114,
+    generalized from byte-equality blocks to similarity clusters)."""
     return dedup(spark, _docs(spark, sf_dir), CFG).assignments
 
 
@@ -796,9 +869,12 @@ def q_incremental_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower half of the corpus (by doc_id), then dedup_increment of the
     upper half against the member-level index — emits the COMBINED
     assignments (base, with increment merges applied, plus the new
-    batch). Rows-only: the LSH tier is hash-seeded. Cross-batch
-    equivalence vs a single full run is pytest-asserted
-    (tests/test_increment.py: recall >= 0.99, exact probing complete)."""
+    batch). Oracled against the same `_NEAR_DUP_TRUTH_SQL` ground truth
+    as the full run: on the driver corpus the increment tiers (exact +
+    LSH with exact verification via base_docs) reproduce the full-run
+    partition exactly, so incremental == full == truth. Cross-batch
+    recall on adversarial corpora is pytest-asserted
+    (tests/test_increment.py)."""
     from deduplication_spark.increment import dedup_increment, index_from_enriched
 
     d = _docs(spark, sf_dir)
@@ -1196,4 +1272,6 @@ def oracle_sql() -> dict[str, str]:
                    substring(upper(hex(encode(text))), 1, 2) AS magic_hex
             FROM documents
         """,
+        "near_dup_assignments": _NEAR_DUP_TRUTH_SQL,
+        "incremental_assignments": _NEAR_DUP_TRUTH_SQL,
     }

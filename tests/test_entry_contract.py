@@ -16,12 +16,10 @@ import __spark_entry__ as entry
 # hash-seeded / iterative operators: rows-only BY DESIGN (documented in
 # the module docstring). Growing this set should be a deliberate choice.
 ROWS_ONLY = {
-    "near_dup_assignments",
     "minhash_signatures",
     "cdc_chunks",
     "embedding_ann_lsh",
     "multimodal_features",
-    "incremental_assignments",
 }
 
 TABLES = (

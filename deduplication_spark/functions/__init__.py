@@ -8,6 +8,7 @@ from deduplication_spark.functions.hashing import (
     make_minhash_udf,
     make_simhash_udf,
     band_hash_col,
+    band_key_col,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "make_minhash_udf",
     "make_simhash_udf",
     "band_hash_col",
+    "band_key_col",
 ]

@@ -227,3 +227,22 @@ def band_hash_col(sig_col: Column | str, rows_per_band: int, bands: int, seed: i
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda j: F.xxhash64(F.slice(sig, j * rows_per_band + 1, rows_per_band), F.lit(seed)),
     )
+
+
+def band_key_col(sig_col: Column | str, rows_per_band: int, bands: int, seed: int) -> Column:
+    """array<long> of ONE combined 64-bit key per LSH band: the band
+    index is hashed in alongside the sliced signature rows, so the
+    candidate bucket exchange (the LSH tier's dominant shuffle at
+    corpus x bands rows) groups on a single 8-byte long instead of a
+    (band_idx int, band_hash long) pair — ~20% fewer key bytes per row
+    and a one-column exchange hash. Cross-band key collisions merge two
+    buckets with p ~ 2^-64 per pair; merged buckets only ADD candidate
+    pairs (estimate-screened downstream), never lose any — at 10^12
+    docs x 32 bands that is ~3e7 extra screened pairs, negligible."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.xxhash64(
+            F.slice(sig, j * rows_per_band + 1, rows_per_band), F.lit(seed), j
+        ),
+    )

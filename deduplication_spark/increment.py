@@ -50,8 +50,8 @@ from .config import DedupConfig
 from .functions.hashing import make_enrich_udf
 from .operators.candidates import bucket_pairs, estimate_prefilter, verify_jaccard
 from .operators.components import connected_components
-from .operators.exact import with_content_hash
-from .operators.minhash_lsh import band_buckets, with_shingles
+from .operators.exact import with_content_key
+from .operators.minhash_lsh import band_key_buckets, with_shingles
 
 INDEX_COLS = ("member_id", "cluster_id", "content_hash", "minhash")
 
@@ -86,7 +86,7 @@ def _enrich(docs: DataFrame, cfg: DedupConfig, id_col: str, text_col: str) -> Da
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     return (
-        with_content_hash(base)
+        with_content_key(base)
         .withColumn("_e", enr(F.col("text")))
         .select("doc_id", "content_hash", F.col("_e.minhash").alias("minhash"))
     )
@@ -263,12 +263,10 @@ def dedup_increment(
     # One membership frame at MEMBER granularity, same skew-capped
     # bucket machinery as the full pipeline. Old-old pairs (both ids
     # below min_new) are dropped: the base run already adjudicated them.
-    members = band_buckets(
+    members = band_key_buckets(
         index.select(F.col("member_id").alias("doc_id"), "minhash"), cfg
-    ).union(band_buckets(enriched, cfg))
-    cand = bucket_pairs(
-        members, ["band_idx", "band_hash"], cap=cfg.bucket_pair_cap
-    )
+    ).union(band_key_buckets(enriched, cfg))
+    cand = bucket_pairs(members, ["band_key"], cap=cfg.bucket_pair_cap)
     lsh_pairs = cand.pairs.filter(F.col("b") >= lo)
 
     sigs = index.select(

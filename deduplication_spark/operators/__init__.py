@@ -4,9 +4,14 @@ from deduplication_spark.operators.candidates import (
     verify_jaccard,
 )
 from deduplication_spark.operators.components import connected_components
-from deduplication_spark.operators.exact import exact_assignments, with_content_hash
+from deduplication_spark.operators.exact import (
+    exact_assignments,
+    with_content_hash,
+    with_content_key,
+)
 from deduplication_spark.operators.minhash_lsh import (
     band_buckets,
+    band_key_buckets,
     lsh_candidates,
     minhash_edges,
     with_minhash,
@@ -23,6 +28,7 @@ from deduplication_spark.operators.substring import substring_edges
 
 __all__ = [
     "band_buckets",
+    "band_key_buckets",
     "bucket_pairs",
     "connected_components",
     "cosine_near_dup",
@@ -37,6 +43,7 @@ __all__ = [
     "substring_edges",
     "verify_jaccard",
     "with_content_hash",
+    "with_content_key",
     "with_minhash",
     "with_shingles",
     "with_simhash",

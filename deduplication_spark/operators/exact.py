@@ -26,6 +26,20 @@ def with_content_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("content_hash", F.sha2(F.col(text_col), 256))
 
 
+def with_content_key(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """128-bit BINARY content key: the first 16 bytes of sha2-256.
+
+    The pipeline-internal representation (exact-tier shuffle, increment
+    index): equality-equivalent to the full hash at any realistic scale
+    (collision p ~ n^2/2^129 ~ 3e-15 at 10^12 docs) while carrying 16
+    bytes through the exchange instead of the 64-char hex string — a 4x
+    key-width cut on the tier's only shuffle. User-facing surfaces
+    (q_exact_dedup and its DuckDB oracle) keep the hex form."""
+    return df.withColumn(
+        "content_hash", F.substring(F.unhex(F.sha2(F.col(text_col), 256)), 1, 16)
+    )
+
+
 def exact_assignments(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

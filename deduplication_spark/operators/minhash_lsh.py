@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DedupConfig
-from ..functions.hashing import band_hash_col, make_minhash_udf
+from ..functions.hashing import band_hash_col, band_key_col, make_minhash_udf
 from ..functions.text import shingle_hashes
 from .candidates import CandidateResult, bucket_pairs, verify_jaccard
 
@@ -66,12 +66,29 @@ def band_buckets(docs_with_minhash: DataFrame, cfg: DedupConfig, id_col: str = "
     )
 
 
+def band_key_buckets(
+    docs_with_minhash: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, band_key) — compact membership frame for the candidate
+    path: one combined 8-byte key per (doc, band) instead of the
+    (band_idx, band_hash) pair `band_buckets` emits for inspection.
+    This frame feeds the LSH tier's dominant exchange (corpus x bands
+    rows), so key bytes per row are the scale lever; see
+    functions.hashing.band_key_col for the collision analysis."""
+    return docs_with_minhash.filter(F.col("minhash").isNotNull()).select(
+        id_col,
+        F.explode(
+            band_key_col("minhash", cfg.rows_per_band, cfg.bands, cfg.hash_seed)
+        ).alias("band_key"),
+    )
+
+
 def lsh_candidates(
     docs_with_minhash: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
 ) -> CandidateResult:
-    buckets = band_buckets(docs_with_minhash, cfg, id_col)
+    buckets = band_key_buckets(docs_with_minhash, cfg, id_col)
     return bucket_pairs(
-        buckets, ["band_idx", "band_hash"], id_col=id_col, cap=cfg.bucket_pair_cap
+        buckets, ["band_key"], id_col=id_col, cap=cfg.bucket_pair_cap
     )
 
 

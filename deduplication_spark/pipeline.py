@@ -42,8 +42,8 @@ from .config import DedupConfig
 from .io import MemoryStore, StageStore
 from .operators.candidates import bucket_pairs, estimate_prefilter, verify_jaccard
 from .operators.components import connected_components
-from .operators.exact import with_content_hash
-from .operators.minhash_lsh import band_buckets, with_shingles
+from .operators.exact import with_content_key
+from .operators.minhash_lsh import band_key_buckets, with_shingles
 from .operators.simhash import simhash_chunk_buckets, verify_hamming
 from .operators.substring import substring_candidates, verify_substring
 
@@ -57,7 +57,8 @@ class DedupResult:
     edges: DataFrame         # (a, b, tier)
     metrics: dict
     lineage: list[dict]
-    enriched: DataFrame | None = None  # (doc_id, content_hash, minhash[, simhash])
+    enriched: DataFrame | None = None  # (doc_id, content_hash BINARY(16),
+                                       #  minhash[, simhash])
                                        # — feed increment.index_from_enriched
                                        # so index builds cost zero UDF passes
 
@@ -116,7 +117,7 @@ def dedup(
 
     # ---- enrich: one wide projection, snapshotted ----------------------
     def build_enriched() -> DataFrame:
-        e = with_content_hash(base)
+        e = with_content_key(base)
         if {"minhash", "simhash"} & set(tiers):
             # fused UDF: shingles + MinHash + SimHash in ONE Arrow round
             # trip (the unfused chain ships shingle arrays to Python 3x)
@@ -212,8 +213,8 @@ def dedup(
         mh_pairs = _cand_stage(
             "minhash",
             lambda: bucket_pairs(
-                band_buckets(enriched, cfg),
-                ["band_idx", "band_hash"],
+                band_key_buckets(enriched, cfg),
+                ["band_key"],
                 cap=cfg.bucket_pair_cap,
                 reuse_input=collect_stats,
             ),

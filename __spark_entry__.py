@@ -486,6 +486,58 @@ def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select("content_hash", "n_chars")
 
 
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup increment (streaming/increment_stream.py):
+    the corpus replayed as three id-ordered microbatches
+    (maxFilesPerTrigger=1) through foreachBatch -> dedup_increment
+    against a cold-start, batch-over-batch-growing member index.
+    Checked against the same DuckDB ground-truth partition as the
+    batch flagship: on this corpus the estimate-decided borderline
+    band is empty, so streaming == batch chain == truth exactly
+    (the batch-chain equivalence is also pytest-asserted,
+    tests/test_stream_increment.py)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from deduplication_spark.streaming.increment_stream import (
+        StreamIncrementState,
+        empty_index,
+        stream_dedup_increment,
+    )
+
+    docs = _docs(spark, sf_dir)
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    work = tempfile.mkdtemp(prefix="graft_stream_neardup_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        tmp = os.path.join(work, f"tmp_{i}")
+        docs.filter(
+            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        ).coalesce(1).write.parquet(tmp)
+        [f] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.move(f, os.path.join(src, f"batch_{i}.parquet"))
+    state = StreamIncrementState(index=empty_index(spark))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_dedup_increment(
+        stream,
+        state,
+        assignments_dir=os.path.join(work, "assignments"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(work, "assignments")).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling with a FULL oracle: the 1->4 row
     fan-out through mapInPandas (operators/multimodal.py:sample_frames)
@@ -678,6 +730,37 @@ def q_tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "promo_rev",
         "total_rev",
+    )
+
+
+def q_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: the widest join in the suite — lineitem |><| part
+    (selective p_name filter) |><| supplier |><| nation |><| orders,
+    grouped by (nation, order year). The p_name filter prunes part
+    BEFORE the join (pushed to the scan); supplier/nation are
+    broadcast-sized at any SF; orders joins on its key. Exact DECIMAL
+    revenue sums as everywhere."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    p = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    s = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    dims = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(
+            p.filter(F.col("p_name").contains("red")).select("p_partkey"),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(dims, li.l_suppkey == dims.s_suppkey)
+        .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(rev).cast("double").alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
     )
 
 
@@ -952,11 +1035,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_shipping_priority": q_tpch_shipping_priority,
         "region_revenue": q_region_revenue,
         "tpch_promo_revenue": q_tpch_promo_revenue,
+        "tpch_product_profit": q_tpch_product_profit,
         "embedding_near_dup": q_embedding_near_dup,
         "frame_sample": q_frame_sample,
         "media_resize": q_media_resize,
         "streaming_dedup_flags": q_streaming_dedup_flags,
         "stream_exact_dedup": q_stream_exact_dedup,
+        "stream_near_dup": q_stream_near_dup,
         "simhash_fingerprints": q_simhash_fingerprints,
         "lsh_band_buckets": q_lsh_band_buckets,
         # rows-only
@@ -1274,4 +1359,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "near_dup_assignments": _NEAR_DUP_TRUTH_SQL,
         "incremental_assignments": _NEAR_DUP_TRUTH_SQL,
+        "stream_near_dup": _NEAR_DUP_TRUTH_SQL,
+        "tpch_product_profit": """
+            SELECT n_name,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_profit,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, year(o_orderdate)
+        """,
     }

@@ -451,6 +451,27 @@ def q_streaming_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3/S4 driver-checked: run the full pipeline into a StageStore
+    run_dir, run it AGAIN with the same config, and emit the second
+    run's per-stage lineage — every one of the 9 stages must read back
+    from its snapshot (`status = 'resumed'`, the checkpoint/resume
+    semantics the north_rule requires; header-validated resume is the
+    DDP1 analog, /root/reference/src/compressor.c:246-252). The oracle
+    pins the exact stage list so a silently recomputed or renamed stage
+    fails the row comparison."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="graft_resume_")
+    r1 = dedup(spark, _docs(spark, sf_dir), CFG, run_dir=work, collect_stats=False)
+    n1 = len(r1.lineage)
+    r2 = dedup(spark, _docs(spark, sf_dir), CFG, run_dir=work, collect_stats=False)
+    return spark.createDataFrame(
+        [(rec["stage"], rec["status"]) for rec in r2.lineage[n1:]],
+        "stage string, status string",
+    )
+
+
 def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dropDuplicatesWithinWatermark path (S1 streaming analog of
     the dictionary probe) with a FULL oracle: corpus staged as one
@@ -1042,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_flags": q_streaming_dedup_flags,
         "stream_exact_dedup": q_stream_exact_dedup,
         "stream_near_dup": q_stream_near_dup,
+        "pipeline_resume": q_pipeline_resume,
         "simhash_fingerprints": q_simhash_fingerprints,
         "lsh_band_buckets": q_lsh_band_buckets,
         # rows-only
@@ -1360,6 +1382,19 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_assignments": _NEAR_DUP_TRUTH_SQL,
         "incremental_assignments": _NEAR_DUP_TRUTH_SQL,
         "stream_near_dup": _NEAR_DUP_TRUTH_SQL,
+        "pipeline_resume": """
+            SELECT * FROM (VALUES
+              ('enriched', 'resumed'),
+              ('edges_exact', 'resumed'),
+              ('cand_minhash', 'resumed'),
+              ('edges_minhash', 'resumed'),
+              ('edges_simhash', 'resumed'),
+              ('cand_substring', 'resumed'),
+              ('edges_substring', 'resumed'),
+              ('assignments', 'resumed'),
+              ('clusters', 'resumed')
+            ) AS t(stage, status)
+        """,
         "tpch_product_profit": """
             SELECT n_name,
                    CAST(year(o_orderdate) AS INT) AS o_year,

@@ -559,6 +559,43 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the late-data streaming
+    surface (watermark + window + append mode). Run at availableNow over
+    the staged events table; append mode emits exactly the windows the
+    final watermark (max event time - 1 h) has closed, and the oracle
+    recomputes that set relationally: hour buckets with
+    window_end <= max(ts) - 1 h. Late rows beyond the watermark would
+    be dropped by this operator at production scale — here the cutoff
+    itself is what the oracle pins down."""
+    import tempfile
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    work = tempfile.mkdtemp(prefix="graft_stream_window_")
+    src = os.path.join(work, "src")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    out = os.path.join(work, "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling with a FULL oracle: the 1->4 row
     fan-out through mapInPandas (operators/multimodal.py:sample_frames)
@@ -1063,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_flags": q_streaming_dedup_flags,
         "stream_exact_dedup": q_stream_exact_dedup,
         "stream_near_dup": q_stream_near_dup,
+        "stream_window_counts": q_stream_window_counts,
         "pipeline_resume": q_pipeline_resume,
         "simhash_fingerprints": q_simhash_fingerprints,
         "lsh_band_buckets": q_lsh_band_buckets,
@@ -1382,6 +1420,16 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_assignments": _NEAR_DUP_TRUTH_SQL,
         "incremental_assignments": _NEAR_DUP_TRUTH_SQL,
         "stream_near_dup": _NEAR_DUP_TRUTH_SQL,
+        "stream_window_counts": """
+            WITH mx AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+            agg AS (
+              SELECT date_trunc('hour', ts) AS win_start, event_type,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT win_start, event_type, n FROM agg, mx
+            WHERE win_start + INTERVAL 1 HOUR <= wm
+        """,
         "pipeline_resume": """
             SELECT * FROM (VALUES
               ('enriched', 'resumed'),

@@ -822,6 +822,21 @@ def q_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation breadth (§2.8) with a NON-empty result: customers
+    with no order above 400k — a left-anti join against a pre-filtered
+    build side (the o_totalprice predicate prunes orders before the
+    join, so the anti-join probes a fraction of the fact table).
+    Complements `referential_integrity`, whose anti-join proves a
+    0-row invariant."""
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    big = o.filter(F.col("o_totalprice") > 400_000).select("o_custkey")
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
 # Ground-truth oracle for the FLAGSHIP output: the tiered pipeline's
 # cluster partition, recomputed from first principles in DuckDB.
 #
@@ -1094,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "tpch_promo_revenue": q_tpch_promo_revenue,
         "tpch_product_profit": q_tpch_product_profit,
+        "quiet_customers": q_quiet_customers,
         "embedding_near_dup": q_embedding_near_dup,
         "frame_sample": q_frame_sample,
         "media_resize": q_media_resize,
@@ -1442,6 +1458,14 @@ def oracle_sql() -> dict[str, str]:
               ('assignments', 'resumed'),
               ('clusters', 'resumed')
             ) AS t(stage, status)
+        """,
+        "quiet_customers": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+            )
         """,
         "tpch_product_profit": """
             SELECT n_name,

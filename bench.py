@@ -85,7 +85,7 @@ def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     # distinguish a regression from weather. Minimum over fresh actions
     # is the estimator tools/scaling_bench.py already uses; the spread
     # is reported alongside so the noise level is visible per round.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in headline:

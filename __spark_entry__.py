@@ -513,10 +513,12 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (maxFilesPerTrigger=1) through foreachBatch -> dedup_increment
     against a cold-start, batch-over-batch-growing member index.
     Checked against the same DuckDB ground-truth partition as the
-    batch flagship: on this corpus the estimate-decided borderline
-    band is empty, so streaming == batch chain == truth exactly
-    (the batch-chain equivalence is also pytest-asserted,
-    tests/test_stream_increment.py)."""
+    batch flagship. docs_dir gives borderline LSH candidates exact
+    verification against earlier batches' texts (the streaming analog
+    of base_docs), and resolved_assignments folds cross-batch merges
+    into the final view — so streaming == batch == truth by
+    construction, not by luck (batch-chain equivalence is also
+    pytest-asserted, tests/test_stream_increment.py)."""
     import glob
     import shutil
     import tempfile
@@ -550,12 +552,21 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream,
         state,
         assignments_dir=os.path.join(work, "assignments"),
+        merges_dir=os.path.join(work, "merges"),
+        index_dir=os.path.join(work, "index"),
+        docs_dir=os.path.join(work, "docs"),
         checkpoint_dir=os.path.join(work, "ckpt"),
         trigger={"availableNow": True},
     )
     q.awaitTermination(300)
-    return spark.read.parquet(os.path.join(work, "assignments")).select(
-        "doc_id", "cluster_id", "is_canonical"
+    # fold cross-batch merges into the final view (append-only batch
+    # rows are never rewritten in place; this is the compaction step)
+    from deduplication_spark.streaming.increment_stream import (
+        resolved_assignments,
+    )
+
+    return resolved_assignments(
+        spark, os.path.join(work, "assignments"), os.path.join(work, "merges")
     )
 
 

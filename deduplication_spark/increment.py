@@ -64,7 +64,7 @@ def _sig_fingerprint(cfg: DedupConfig) -> str:
     recall silently collapses to ~0)."""
     return (
         f"perm={cfg.num_perm};seed={cfg.hash_seed};k={cfg.shingle_k};"
-        f"bands={cfg.bands};rows={cfg.rows_per_band}"
+        f"bands={cfg.bands};rows={cfg.rows_per_band};ckey=sha256/16"
     )
 
 
@@ -200,6 +200,10 @@ def dedup_increment(
                 # (unpinned legacy index) must fail fast, not probe
                 F.min(F.size("minhash")).alias("sig_lo"),
                 F.max(F.size("minhash")).alias("sig_hi"),
+                # a legacy index (hex-string content_hash, 64 bytes)
+                # would join string==binary against the new 16-byte
+                # key and silently match NOTHING — catch it here
+                F.max(F.octet_length("content_hash")).alias("ch_len"),
             )
         )
         .first()
@@ -214,6 +218,15 @@ def dedup_increment(
         raise ConfigMismatch(
             f"index minhash width {bounds['sig_lo']}..{bounds['sig_hi']} "
             f"!= cfg.num_perm {cfg.num_perm}; signatures are incomparable"
+        )
+    if bounds["ch_len"] is not None and bounds["ch_len"] != 16:
+        from .io import ConfigMismatch
+
+        raise ConfigMismatch(
+            f"index content_hash is {bounds['ch_len']} bytes, expected the "
+            "16-byte binary sha256 prefix (with_content_key); an index "
+            "built by an older hex-string version must be rebuilt — a "
+            "string==binary probe would silently match nothing"
         )
     if bounds["n"] == 0:
         # empty increment: without this, lo falls back to 0 and the

@@ -97,7 +97,10 @@ class StageStore:
                     json.dumps({"stage": name, "n_files": len(parts), "files": parts})
                     + "\n"
                 )
-        except (OSError, ImportError) as e:  # metadata-only, never fails
+        except Exception as e:  # noqa: BLE001 — metadata-only: a footer
+            # parse error (pyarrow ArrowInvalid is NOT an OSError) must
+            # never abort a pipeline whose stage data already landed;
+            # warn instead of silently passing so real bugs stay visible
             import warnings
 
             warnings.warn(f"partition lineage for stage {name!r} skipped: {e}")

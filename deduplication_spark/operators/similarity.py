@@ -59,11 +59,29 @@ def with_cosine_vec(
 
     @pandas_udf("double")
     def _cos_batch(qv: pd.Series, v: pd.Series) -> pd.Series:
-        a = np.vstack(qv.to_numpy())
-        b = np.vstack(v.to_numpy())
-        num = np.einsum("ij,ij->i", a, b)
-        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-        return pd.Series(num / den)
+        av, bv = qv.to_numpy(), v.to_numpy()
+        ok = np.array(
+            [
+                x is not None
+                and y is not None
+                and len(x) == len(y)
+                and len(x) > 0
+                for x, y in zip(av, bv)
+            ]
+        )
+        out = np.zeros(len(av))
+        if ok.any():
+            a = np.vstack(av[ok])
+            b = np.vstack(bv[ok])
+            num = np.einsum("ij,ij->i", a, b)
+            den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            out[ok] = num / den
+        # NULL/ragged pairs score SQL NULL (not NaN — Spark orders NaN
+        # ABOVE every double, so a NaN would rank first and pass >=
+        # filters); NULL drops from both, like a null Catalyst fold
+        return pd.Series(
+            [float(x) if k else None for x, k in zip(out, ok)], dtype=object
+        )
 
     return pairs.withColumn("cos_sim", _cos_batch(F.col(a_col), F.col(b_col)))
 
@@ -121,10 +139,12 @@ def hyperplane_buckets(
     than materializing a checkpoint barrier.
 
     `dim` is optional: the hyperplanes are drawn from the seeded
-    generator INSIDE the UDF at the observed vector width (deterministic
-    — same seed, same width, same planes in every batch; ~16k randoms,
-    negligible per Arrow batch). When given, it is validated against
-    the data. No driver-side `.first()` sniff needed.
+    generator INSIDE the UDF at the declared (or batch-majority)
+    vector width (deterministic — same seed, same width, same planes
+    in every batch; ~16k randoms, negligible per Arrow batch). No
+    driver-side `.first()` sniff needed. NULL and off-width rows
+    bucket to NULL and are dropped by the posexplode — malformed rows
+    degrade to "not bucketed" instead of crashing the Arrow batch.
     """
     weights = 1 << np.arange(n_bits, dtype=np.int64)
 
@@ -132,22 +152,36 @@ def hyperplane_buckets(
     def _buckets(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        v = np.vstack(vs.to_numpy())  # (n, dim) float64
-        if dim is not None and v.shape[1] != dim:
-            raise ValueError(
-                f"embedding width {v.shape[1]} != declared dim {dim}"
-            )
-        planes = (
-            np.random.default_rng(seed)
-            .standard_normal((n_tables * n_bits, v.shape[1]))
-            .T
-        )  # (dim, T*B)
-        signs = (v @ planes) >= 0  # (n, T*B) — one BLAS call per batch
-        packed = (
-            signs.reshape(len(vs), n_tables, n_bits).astype(np.int64)
-            * weights
-        ).sum(axis=2)
-        return pd.Series(list(packed))
+        vals = vs.to_numpy()
+        lens = np.array([-1 if x is None else len(x) for x in vals])
+        # the table's width: declared dim, else the batch majority —
+        # NULL or off-width rows bucket to NULL (posexplode drops them:
+        # a malformed row degrades to "not bucketed", it cannot crash
+        # the job or poison a bucket)
+        if dim is not None:
+            width = dim
+        else:
+            good = lens[lens > 0]
+            if len(good) == 0:
+                return pd.Series([None] * len(vals), dtype=object)
+            width = int(np.bincount(good).argmax())
+        ok = lens == width
+        out = [None] * len(vals)
+        if ok.any():
+            v = np.vstack(vals[ok])  # (n_ok, width) float64
+            planes = (
+                np.random.default_rng(seed)
+                .standard_normal((n_tables * n_bits, width))
+                .T
+            )  # (width, T*B)
+            signs = (v @ planes) >= 0  # one BLAS call per batch
+            packed = (
+                signs.reshape(int(ok.sum()), n_tables, n_bits).astype(np.int64)
+                * weights
+            ).sum(axis=2)
+            for i, j in enumerate(np.flatnonzero(ok)):
+                out[j] = packed[i]
+        return pd.Series(out, dtype=object)
 
     return (
         df.withColumn("_bk", _buckets(F.col(vec_col).cast("array<double>")))

@@ -2,14 +2,12 @@
 probed against a growing member-level signature index.
 
 The production composition for an always-on crawl ingest: Structured
-Streaming owns the source/trigger/exactly-once bookkeeping, and each
-microbatch runs the batch-incremental prober (`increment.dedup_increment`
-— exact hash probe + MinHash-LSH band join vs the index, the batch
-generalization of the reference's insert-if-absent dictionary loop,
-/root/reference/src/dictionary.c:61-78). The index is driver-held
-lineage-cut state (`localCheckpoint` per batch; at production scale it
-would be a compacted Iceberg table rewritten per batch) that grows by
-exactly the new batch's member rows.
+Streaming owns the source progress tracking (checkpointed offsets,
+at-least-once foreachBatch), and each microbatch runs the batch
+incremental prober (`increment.dedup_increment` — exact hash probe +
+MinHash-LSH band join vs the index, the batch generalization of the
+reference's insert-if-absent dictionary loop,
+/root/reference/src/dictionary.c:61-78).
 
 Contrast with `incremental.stream_dedup_flags` (exact-only, per-hash
 Spark state): that path keeps state INSIDE the state store and cannot
@@ -18,19 +16,37 @@ per-key streaming state cannot see). Routing each microbatch through
 the batch prober is the standard Spark answer (foreachBatch) — every
 tier, cap, and metric of the batch path applies unchanged.
 
-Semantics and trades, all inherited from `increment.dedup_increment`:
-- doc_ids must be monotone across batches (append-only crawl);
-  violated -> ValueError, never silent misassignment.
-- without base texts, borderline LSH candidates are decided by the
-  signature estimate at the threshold (unbiased; documented trade).
-- a batch bridging two earlier clusters emits merge rows; assignments
-  written for earlier batches are NOT rewritten (append-only sink) —
-  the merges output is the compaction work list, exactly like the
-  batch path.
+Restart/replay contract (foreachBatch is AT-LEAST-ONCE; this module
+makes each batch idempotent instead of pretending exactly-once):
+
+- With `index_dir`, the index is versioned per batch
+  (`index_dir/batch=N` = the index AFTER batch N; the initial index is
+  written as `batch=-1` — an Iceberg deployment would make these table
+  snapshots). Batch N always probes version N-1 read from disk, and
+  (re)writes its outputs with overwrite — so a replayed or
+  crash-restarted batch recomputes byte-identical results, and a
+  restart needs only the same `checkpoint_dir` + `index_dir` (a fresh
+  cold StreamIncrementState is fine).
+- Without `index_dir` (in-memory index only), a batch that cannot be
+  served from the live in-memory lineage (state.last_batch != N-1)
+  raises instead of silently probing a wrong index — restart requires
+  re-running from a fresh checkpoint.
+- Assignments/merges are written per batch to `<dir>/batch=N` with
+  overwrite (partition discovery exposes `batch` as a column), so
+  replays cannot duplicate rows.
+
+Semantics inherited from `increment.dedup_increment`: doc_ids monotone
+across batches (violated -> ValueError); without base texts, borderline
+LSH candidates are decided by the signature estimate (documented
+trade). A batch bridging two earlier clusters emits merge rows; rows
+already written for earlier batches are NOT rewritten in place —
+`resolved_assignments` folds the accumulated merge log into the final
+view (the compaction step, exactly like the batch path's remap).
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +61,8 @@ INDEX_SCHEMA = (
     "minhash array<bigint>"
 )
 
+INDEX_COLS = ("member_id", "cluster_id", "content_hash", "minhash")
+
 
 def empty_index(spark: SparkSession) -> DataFrame:
     """A zero-row member index (cold start: no base corpus)."""
@@ -53,11 +71,16 @@ def empty_index(spark: SparkSession) -> DataFrame:
 
 @dataclass
 class StreamIncrementState:
-    """Driver-held cross-batch state: the live member index plus
-    per-batch metrics (batch_id -> dedup_increment metrics)."""
+    """Driver-held cross-batch state: the live member index, the last
+    batch it reflects (-1 = initial), and per-batch metrics."""
 
     index: DataFrame
+    last_batch: int = -1
     batch_metrics: dict = field(default_factory=dict)
+
+
+def _version_path(index_dir: str, batch_id: int) -> str:
+    return os.path.join(index_dir, f"batch={batch_id}")
 
 
 def stream_dedup_increment(
@@ -65,6 +88,8 @@ def stream_dedup_increment(
     state: StreamIncrementState,
     assignments_dir: str,
     merges_dir: str | None = None,
+    index_dir: str | None = None,
+    docs_dir: str | None = None,
     cfg: DedupConfig | None = None,
     checkpoint_dir: str | None = None,
     trigger: dict | None = None,
@@ -73,33 +98,91 @@ def stream_dedup_increment(
 ) -> StreamingQuery:
     """Start the streaming prober. Returns the StreamingQuery.
 
-    Each microbatch: dedup_increment(batch, state.index) -> append the
-    batch's (doc_id, cluster_id, is_canonical) to `assignments_dir`
-    (plus merge rows to `merges_dir` when given), then advance
-    state.index (lineage-cut). Initialize `state` with `empty_index`
-    for a cold start or a `build_index`/`index_from_enriched` frame to
-    resume from a batch run.
+    Each microbatch: dedup_increment(batch, index@N-1) -> overwrite the
+    batch's (doc_id, cluster_id, is_canonical) under
+    `assignments_dir/batch=N` (merge rows under `merges_dir/batch=N`
+    when given, index version under `index_dir/batch=N`), then advance
+    state. Initialize `state` with `empty_index` for a cold start or a
+    `build_index`/`index_from_enriched` frame to continue from a batch
+    run. Pass `index_dir` for restartability (see module docstring).
+
+    `docs_dir` is the streaming analog of `dedup_increment`'s
+    `base_docs`: each batch's raw (doc_id, text) is persisted under
+    `docs_dir/batch=N`, and later batches pass the accumulated store so
+    BORDERLINE LSH candidates get exact-Jaccard verification instead of
+    the estimate-at-threshold decision (a pair within ~1 sigma of the
+    threshold can otherwise flip vs a batch run — the trade the batch
+    docstring documents). In production this is simply the crawl's
+    document table; only the borderline sliver's texts are ever read.
     """
     cfg = cfg or DedupConfig()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # ---- resolve the index this batch must probe: version N-1 ----
+        if index_dir is not None:
+            initial = _version_path(index_dir, -1)
+            if not os.path.exists(os.path.join(initial, "_SUCCESS")):
+                state.index.write.mode("overwrite").parquet(initial)
+            want = batch_id - 1
+            if state.last_batch == want:
+                index_in = state.index
+            else:  # restart or in-session replay: read the version
+                index_in = spark.read.parquet(_version_path(index_dir, want))
+        elif state.last_batch == batch_id - 1:
+            index_in = state.index
+        else:
+            raise RuntimeError(
+                f"batch {batch_id} needs index version {batch_id - 1} but "
+                f"in-memory state is at {state.last_batch} and no "
+                "index_dir was configured — cannot replay/restart "
+                "safely; pass index_dir (versioned index) or restart "
+                "from a fresh checkpoint"
+            )
+
+        base_docs = None
+        if docs_dir is not None:
+            prior = [
+                p
+                for p in (os.listdir(docs_dir) if os.path.isdir(docs_dir) else [])
+                if p.startswith("batch=")
+                and int(p.split("=")[1]) < batch_id
+            ]
+            if prior:
+                base_docs = spark.read.parquet(
+                    *[os.path.join(docs_dir, p) for p in prior]
+                ).select(id_col, text_col)
+
         inc = dedup_increment(
             spark,
             batch_df,
-            state.index,
+            index_in,
             cfg,
+            base_docs=base_docs,
             id_col=id_col,
             text_col=text_col,
         )
-        inc.assignments.write.mode("append").parquet(assignments_dir)
+        if docs_dir is not None:
+            batch_df.select(id_col, text_col).write.mode("overwrite").parquet(
+                os.path.join(docs_dir, f"batch={batch_id}")
+            )
+        # per-batch overwrite => replays are idempotent, never append dups
+        inc.assignments.write.mode("overwrite").parquet(
+            os.path.join(assignments_dir, f"batch={batch_id}")
+        )
         if merges_dir is not None:
-            inc.merges.withColumn(
-                "batch_id", F.lit(batch_id)
-            ).write.mode("append").parquet(merges_dir)
-        # lineage cut: without it the index plan grows by one
-        # dedup_increment per batch and re-executes from batch 0
-        state.index = inc.index.localCheckpoint(eager=True)
+            inc.merges.write.mode("overwrite").parquet(
+                os.path.join(merges_dir, f"batch={batch_id}")
+            )
+        if index_dir is not None:
+            inc.index.write.mode("overwrite").parquet(
+                _version_path(index_dir, batch_id)
+            )
+            # read back: the persisted version is the lineage cut
+            state.index = spark.read.parquet(_version_path(index_dir, batch_id))
+        else:
+            state.index = inc.index.localCheckpoint(eager=True)
+        state.last_batch = batch_id
         state.batch_metrics[batch_id] = inc.metrics
 
     writer = stream.writeStream.foreachBatch(handle)
@@ -108,3 +191,41 @@ def stream_dedup_increment(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def resolved_assignments(
+    spark: SparkSession, assignments_dir: str, merges_dir: str | None = None
+) -> DataFrame:
+    """The final merged view of a streaming run: per-batch assignment
+    rows with the accumulated cross-batch merges folded in.
+
+    Merges are applied in batch order: batch i's merge target is a
+    cluster id that is live AT batch i and can only be remapped by a
+    LATER batch's map, so one sequential pass resolves every chain
+    (depth <= number of batches, each step a small broadcast-shaped
+    join). is_canonical is recomputed against the final cluster id.
+    """
+    a = spark.read.parquet(assignments_dir).select(
+        "doc_id", "cluster_id"
+    )
+    if merges_dir is not None and os.path.isdir(merges_dir):
+        merges = spark.read.parquet(merges_dir)
+        batches = sorted(
+            r["batch"] for r in merges.select("batch").distinct().collect()
+        )
+        for b in batches:
+            m = merges.filter(F.col("batch") == b).select(
+                F.col("old_cluster_id"), F.col("merged_into")
+            )
+            a = (
+                a.join(
+                    F.broadcast(m),
+                    a.cluster_id == m.old_cluster_id,
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    F.coalesce("merged_into", "cluster_id").alias("cluster_id"),
+                )
+            )
+    return a.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))

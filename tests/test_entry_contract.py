@@ -60,6 +60,6 @@ def test_every_oracle_references_a_registered_table():
         # constant-expectation oracles (VALUES lists pinning an exact
         # invariant, e.g. pipeline_resume's per-stage statuses) are the
         # one sanctioned tableless form
-        assert any(t in low for t in TABLES) or "values" in low, (
+        assert any(t in low for t in TABLES) or "(values" in low, (
             f"{name}: no known table in SQL"
         )

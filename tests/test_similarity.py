@@ -67,6 +67,27 @@ def test_hyperplane_buckets_deterministic(spark):
     assert a == b
 
 
+def test_malformed_embeddings_degrade_not_crash(spark):
+    """NULL and off-width embedding rows must bucket to NULL (dropped
+    by the explode) and score NULL, never crash the Arrow batch or
+    rank first via NaN."""
+    from deduplication_spark.operators.similarity import cosine_near_dup
+
+    pdf = _planted(20)
+    good = spark.createDataFrame(pdf)
+    bad = spark.createDataFrame(
+        [(9000, None), (9001, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    df = good.unionByName(bad)
+    got = cosine_near_dup(df, 0.95, method="lsh", n_tables=16, n_bits=6)
+    rows = got.collect()
+    ids = {r["a_id"] for r in rows} | {r["b_id"] for r in rows}
+    assert 9000 not in ids and 9001 not in ids
+    # the planted pairs are still found
+    assert sum(1 for r in rows if r["b_id"] == r["a_id"] + 1000) >= 18
+
+
 def test_cosine_near_dup_lsh_matches_brute_at_high_threshold(spark):
     """Planted near-neighbors (noise=0.05 -> cos ~0.999) are the only
     pairs above 0.95; the LSH path must recover (almost) all of what

@@ -63,12 +63,13 @@ def streamed(spark, docs, src_dir, tmp_path_factory):
         state,
         assignments_dir=str(out / "assignments"),
         merges_dir=str(out / "merges"),
+        index_dir=str(out / "index"),
         cfg=DedupConfig(),
         checkpoint_dir=str(out / "ckpt"),
         trigger={"availableNow": True},
     )
     q.awaitTermination(300)
-    return state, spark.read.parquet(str(out / "assignments"))
+    return state, str(out)
 
 
 def test_three_microbatches_ran(streamed):
@@ -79,8 +80,9 @@ def test_three_microbatches_ran(streamed):
     ]
 
 
-def test_every_doc_assigned_once(streamed):
-    _, assignments = streamed
+def test_every_doc_assigned_once(spark, streamed):
+    _, out = streamed
+    assignments = spark.read.parquet(os.path.join(out, "assignments"))
     assert assignments.count() == N_DOCS
     assert assignments.select("doc_id").distinct().count() == N_DOCS
 
@@ -94,7 +96,8 @@ def test_matches_equivalent_batch_chain(spark, docs, streamed):
     """The streaming run must equal the same three dedup_increment
     calls chained by hand (same machinery, same batch boundaries,
     deterministic kernels)."""
-    _, stream_assign = streamed
+    _, out = streamed
+    stream_assign = spark.read.parquet(os.path.join(out, "assignments"))
     cfg = DedupConfig()
     index = empty_index(spark)
     rows = {}
@@ -111,10 +114,146 @@ def test_matches_equivalent_batch_chain(spark, docs, streamed):
     assert got == rows
 
 
+def test_index_versions_persisted_per_batch(streamed):
+    """index_dir must hold one version per batch plus the initial
+    (batch=-1) — the restart/replay source of truth."""
+    import glob
+
+    _, out = streamed
+    versions = sorted(
+        int(os.path.basename(p).split("=")[1])
+        for p in glob.glob(os.path.join(out, "index", "batch=*"))
+    )
+    assert versions == [-1, 0, 1, 2]
+
+
+def test_replay_is_idempotent(spark, docs, streamed):
+    """Replaying a mid-run batch (foreachBatch is at-least-once) with a
+    COLD driver state must recompute byte-identical outputs from the
+    persisted index version — never append duplicates or probe the
+    wrong index. Exercises the same path the handler takes on
+    restart: read index@N-1 from index_dir, overwrite batch=N."""
+    _, out = streamed
+    assignments = spark.read.parquet(os.path.join(out, "assignments"))
+    before = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in assignments.collect()
+    )
+    lo, hi = BATCHES[1]
+    batch1 = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    idx0 = spark.read.parquet(os.path.join(out, "index", "batch=0"))
+    inc = dedup_increment(spark, batch1, idx0, DedupConfig())
+    inc.assignments.write.mode("overwrite").parquet(
+        os.path.join(out, "assignments", "batch=1")
+    )
+    # the overwrite replaced part files under paths other live
+    # DataFrames (the module fixture) have already listed
+    spark.catalog.refreshByPath(os.path.join(out, "assignments"))
+    after = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(os.path.join(out, "assignments")).collect()
+    )
+    assert after == before
+
+
+def test_replay_without_index_dir_fails_fast(spark, docs):
+    """In-memory-only mode cannot serve a replayed/rewound batch — the
+    handler must raise, not silently probe a wrong index. Reaches the
+    guard through the real foreachBatch path: a fresh source dir with
+    an existing checkpoint-less cold state but a forced batch gap is
+    impossible to stage via the public API, so assert the guard
+    directly."""
+    state = StreamIncrementState(index=empty_index(spark), last_batch=0)
+    # handler closure is private; the guard condition is the contract:
+    # batch 2 needs last_batch == 1
+    with pytest.raises(Exception, match="index version|restart"):
+        # simulate: the module raises RuntimeError inside handle();
+        # exercise via a tiny availableNow run whose checkpoint starts
+        # at batch 0 while state claims batch 0 already done
+        import tempfile
+
+        work = tempfile.mkdtemp(prefix="graft_replay_guard_")
+        src = os.path.join(work, "src")
+        docs.filter(F.col("doc_id") < 50).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = stream_dedup_increment(
+            stream,
+            state,
+            assignments_dir=os.path.join(work, "assignments"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            trigger={"availableNow": True},
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        raise RuntimeError(
+            f"expected the stream to fail; exception? {q.exception()}"
+        )
+
+
+def test_resolved_assignments_applies_merges(spark):
+    """A batch-2 bridge doc merging two earlier clusters: the merge is
+    folded into resolved_assignments even though batch 0/1 rows were
+    written before the merge existed."""
+    import tempfile
+
+    import pandas as pd
+
+    from deduplication_spark.streaming.increment_stream import (
+        resolved_assignments,
+    )
+
+    X = " ".join(f"w{i}" for i in range(200))
+    A = " ".join(f"a{i}" for i in range(40))
+    B = " ".join(f"b{i}" for i in range(40))
+    work = tempfile.mkdtemp(prefix="graft_merge_test_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    frames = [
+        pd.DataFrame({"doc_id": [1], "text": [X + " " + A]}),
+        pd.DataFrame({"doc_id": [2], "text": [X + " " + B]}),
+        pd.DataFrame({"doc_id": [10], "text": [X]}),
+    ]
+    for i, f in enumerate(frames):
+        tmp = os.path.join(work, f"tmp_{i}")
+        spark.createDataFrame(f).coalesce(1).write.parquet(tmp)
+        import glob
+        import shutil
+
+        [p] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.move(p, os.path.join(src, f"batch_{i}.parquet"))
+    schema = spark.read.parquet(src).schema
+    state = StreamIncrementState(index=empty_index(spark))
+    q = stream_dedup_increment(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        state,
+        assignments_dir=os.path.join(work, "assignments"),
+        merges_dir=os.path.join(work, "merges"),
+        index_dir=os.path.join(work, "index"),
+        # docs_dir => borderline candidates (the bridge sits at
+        # j=0.83, within 2 sigma of the 0.8 threshold) get exact
+        # verification, as base_docs gives the batch path
+        docs_dir=os.path.join(work, "docs"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(180)
+    res = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in resolved_assignments(
+            spark, os.path.join(work, "assignments"), os.path.join(work, "merges")
+        ).collect()
+    }
+    # doc 10 bridges clusters 1 and 2 -> everything lands in cluster 1
+    assert res == {1: (1, True), 2: (1, False), 10: (1, False)}
+
+
 def test_cross_batch_exact_dup_probes_first_batch(spark, docs, streamed):
     """An exact duplicate pair split across batches must land in one
     cluster with the earlier doc as canonical."""
-    _, assignments = streamed
+    _, out = streamed
+    spark.catalog.refreshByPath(os.path.join(out, "assignments"))
+    assignments = spark.read.parquet(os.path.join(out, "assignments"))
     h = docs.withColumn("h", F.sha2("text", 256))
     pair = (
         h.alias("a")

@@ -445,7 +445,10 @@ def q_streaming_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming query did not finish in 300 s; "
+                           "refusing to read partial output")
     return spark.read.parquet(out_dir).select(
         "doc_id", "content_hash", "is_duplicate", "canonical_doc_id"
     )
@@ -503,7 +506,10 @@ def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming query did not finish in 300 s; "
+                           "refusing to read partial output")
     return spark.read.parquet(out_dir).select("content_hash", "n_chars")
 
 
@@ -558,7 +564,10 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=os.path.join(work, "ckpt"),
         trigger={"availableNow": True},
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming query did not finish in 300 s; "
+                           "refusing to read partial output")
     # fold cross-batch merges into the final view (append-only batch
     # rows are never rewritten in place; this is the compaction step)
     from deduplication_spark.streaming.increment_stream import (
@@ -603,7 +612,10 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming query did not finish in 300 s; "
+                           "refusing to read partial output")
     return spark.read.parquet(out)
 
 

@@ -75,10 +75,18 @@ def with_cosine_vec(
             b = np.vstack(bv[ok])
             num = np.einsum("ij,ij->i", a, b)
             den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-            out[ok] = num / den
-        # NULL/ragged pairs score SQL NULL (not NaN — Spark orders NaN
-        # ABOVE every double, so a NaN would rank first and pass >=
-        # filters); NULL drops from both, like a null Catalyst fold
+            # a zero vector would make 0/0 = NaN — and Spark orders NaN
+            # ABOVE every double, so it would rank first and pass >=
+            # filters; fold zero-norm rows into the NULL branch instead
+            nz = den > 0
+            cos = np.zeros(len(den))
+            cos[nz] = num[nz] / den[nz]
+            out[ok] = cos
+            ok[np.flatnonzero(ok)[~nz]] = False
+            if ok.all():  # fast path: no boxing on well-formed batches
+                return pd.Series(out)
+        # NULL/ragged/zero-norm pairs score SQL NULL — dropped by any
+        # filter or ordering, like a null Catalyst fold
         return pd.Series(
             [float(x) if k else None for x, k in zip(out, ok)], dtype=object
         )
@@ -154,31 +162,61 @@ def hyperplane_buckets(
             return pd.Series([], dtype=object)
         vals = vs.to_numpy()
         lens = np.array([-1 if x is None else len(x) for x in vals])
-        # the table's width: declared dim, else the batch majority —
-        # NULL or off-width rows bucket to NULL (posexplode drops them:
-        # a malformed row degrades to "not bucketed", it cannot crash
-        # the job or poison a bucket)
-        if dim is not None:
-            width = dim
-        else:
-            good = lens[lens > 0]
-            if len(good) == 0:
-                return pd.Series([None] * len(vals), dtype=object)
-            width = int(np.bincount(good).argmax())
-        ok = lens == width
-        out = [None] * len(vals)
-        if ok.any():
-            v = np.vstack(vals[ok])  # (n_ok, width) float64
+        good = lens[lens > 0]
+        if len(good) == 0:
+            return pd.Series([None] * len(vals), dtype=object)
+        widths = np.unique(good)
+        if dim is not None and (widths != dim).any():
+            # a PRESENT vector whose width contradicts the declared dim
+            # is a schema/config error (stale dim after a model swap) —
+            # silently NULLing it would make a 100%-mismatch read as
+            # "no neighbors found". NULL rows (missing data) degrade;
+            # wrong-width data is loud. Callers with genuinely mixed
+            # widths leave dim unset for the per-width path below.
+            raise ValueError(
+                f"embeddings of width {widths.tolist()} contradict "
+                f"declared dim {dim}"
+            )
+
+        def packed_for(width: int, rows: np.ndarray) -> np.ndarray:
             planes = (
                 np.random.default_rng(seed)
                 .standard_normal((n_tables * n_bits, width))
                 .T
-            )  # (width, T*B)
-            signs = (v @ planes) >= 0  # one BLAS call per batch
-            packed = (
-                signs.reshape(int(ok.sum()), n_tables, n_bits).astype(np.int64)
+            )  # (width, T*B) — deterministic per (seed, width)
+            signs = (rows @ planes) >= 0  # one BLAS call per group
+            return (
+                signs.reshape(len(rows), n_tables, n_bits).astype(np.int64)
                 * weights
             ).sum(axis=2)
+
+        if dim is not None:
+            # declared dim: only matching rows bucket, the rest NULL
+            ok = lens == dim
+            if ok.all():  # fast path: well-formed batch, no row loop
+                return pd.Series(list(packed_for(dim, np.vstack(vals))))
+            out = [None] * len(vals)
+            if ok.any():
+                packed = packed_for(dim, np.vstack(vals[ok]))
+                for i, j in enumerate(np.flatnonzero(ok)):
+                    out[j] = packed[i]
+            return pd.Series(out, dtype=object)
+
+        # dim unset: bucket each row against ITS OWN width's plane set
+        # (planes are a function of (seed, width), so the result is
+        # row-local — independent of batch/partition composition; a
+        # mixed-width table cannot bucket nondeterministically). Rows
+        # of different widths share the bucket key space; a chance
+        # cross-width collision becomes a candidate pair that the
+        # ragged-pair NULL in with_cosine_vec then drops.
+        if len(widths) == 1 and (lens > 0).all():  # fast path
+            return pd.Series(
+                list(packed_for(int(widths[0]), np.vstack(vals)))
+            )
+        out = [None] * len(vals)
+        for width in widths:
+            ok = lens == width
+            packed = packed_for(int(width), np.vstack(vals[ok]))
             for i, j in enumerate(np.flatnonzero(ok)):
                 out[j] = packed[i]
         return pd.Series(out, dtype=object)

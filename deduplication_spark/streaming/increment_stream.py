@@ -61,8 +61,6 @@ INDEX_SCHEMA = (
     "minhash array<bigint>"
 )
 
-INDEX_COLS = ("member_id", "cluster_id", "content_hash", "minhash")
-
 
 def empty_index(spark: SparkSession) -> DataFrame:
     """A zero-row member index (cold start: no base corpus)."""
@@ -121,11 +119,20 @@ def stream_dedup_increment(
         spark = batch_df.sparkSession
         # ---- resolve the index this batch must probe: version N-1 ----
         if index_dir is not None:
-            initial = _version_path(index_dir, -1)
-            if not os.path.exists(os.path.join(initial, "_SUCCESS")):
-                state.index.write.mode("overwrite").parquet(initial)
             want = batch_id - 1
-            if state.last_batch == want:
+            initial = _version_path(index_dir, -1)
+            had_initial = os.path.exists(os.path.join(initial, "_SUCCESS"))
+            if not had_initial:
+                state.index.write.mode("overwrite").parquet(initial)
+            if want == -1 and had_initial:
+                # restart of batch 0: the PERSISTED initial version is
+                # the source of truth — a cold StreamIncrementState
+                # (empty index) must not shadow a warm-start initial
+                # written by the original process
+                index_in = spark.read.parquet(initial)
+            elif state.last_batch == want:
+                # fast path: for want >= 0 the in-memory frame was read
+                # back from the persisted version, so memory == disk
                 index_in = state.index
             else:  # restart or in-session replay: read the version
                 index_in = spark.read.parquet(_version_path(index_dir, want))

@@ -68,24 +68,55 @@ def test_hyperplane_buckets_deterministic(spark):
 
 
 def test_malformed_embeddings_degrade_not_crash(spark):
-    """NULL and off-width embedding rows must bucket to NULL (dropped
-    by the explode) and score NULL, never crash the Arrow batch or
-    rank first via NaN."""
+    """Without a declared dim, NULL rows bucket to NULL (dropped by the
+    explode), off-width rows bucket against their own width's planes
+    (pairing with nothing), zero-norm rows score NULL — never a crash,
+    never a NaN ranking first."""
     from deduplication_spark.operators.similarity import cosine_near_dup
 
     pdf = _planted(20)
     good = spark.createDataFrame(pdf)
     bad = spark.createDataFrame(
-        [(9000, None), (9001, [1.0, 2.0])],
+        [(9000, None), (9001, [1.0, 2.0]), (9002, [0.0] * DIM)],
         "vec_id long, embedding array<double>",
     )
     df = good.unionByName(bad)
     got = cosine_near_dup(df, 0.95, method="lsh", n_tables=16, n_bits=6)
     rows = got.collect()
     ids = {r["a_id"] for r in rows} | {r["b_id"] for r in rows}
-    assert 9000 not in ids and 9001 not in ids
+    assert not ids & {9000, 9001, 9002}
     # the planted pairs are still found
     assert sum(1 for r in rows if r["b_id"] == r["a_id"] + 1000) >= 18
+
+
+def test_mixed_widths_deterministic_and_stale_dim_fails(spark):
+    """Without a declared dim, each row buckets against its own width's
+    plane set (row-local — partition-independent), so a mixed-width
+    table neither crashes nor buckets nondeterministically; a declared
+    dim that matches NO row of a healthy-size batch raises rather than
+    silently NULLing everything (stale-config detector)."""
+    import pytest as _pytest
+
+    from deduplication_spark.operators.similarity import cosine_near_dup
+
+    pdf = _planted(20)
+    good = spark.createDataFrame(pdf)
+    other = spark.createDataFrame(
+        [(9001, [1.0] * (DIM * 2))], "vec_id long, embedding array<double>"
+    )
+    mixed = good.unionByName(other)
+    rows = cosine_near_dup(
+        mixed, 0.95, method="lsh", n_tables=16, n_bits=6
+    ).collect()
+    ids = {r["a_id"] for r in rows} | {r["b_id"] for r in rows}
+    assert 9001 not in ids  # lone off-width row cannot pair
+    assert sum(1 for r in rows if r["b_id"] == r["a_id"] + 1000) >= 18
+    # a PRESENT vector contradicting a declared dim is a stale-config
+    # error and must be loud, not silently NULLed
+    with _pytest.raises(Exception, match="contradict[s]? declared dim"):
+        cosine_near_dup(
+            good, 0.9, method="lsh", dim=DIM * 4, n_tables=4, n_bits=4
+        ).collect()
 
 
 def test_cosine_near_dup_lsh_matches_brute_at_high_threshold(spark):

@@ -883,17 +883,27 @@ def q_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Adversarial corpora where the tiers genuinely diverge (substring-only
 # spans, borderline estimates) are pytest-covered
 # (tests/test_pipeline.py truth-pair recall, tests/test_candidates.py).
-_NEAR_DUP_TRUTH_SQL = """
+#
+# RENDERED FROM THE CONFIG (round-3 verdict item 1): the shingle width
+# and verification threshold are f-strung from the same `CFG` the
+# pipeline reads, so a config change cannot silently desynchronize the
+# oracle from the thing it checks — the DDP1-header discipline
+# (src/compressor.c:30-39) applied to the correctness infrastructure
+# itself. tests/test_entry_contract.py pins the rendered constants.
+def _near_dup_truth_sql(cfg) -> str:
+    k = cfg.shingle_k
+    thr = cfg.jaccard_verify_threshold
+    return f"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents
     ),
     grams AS (
       SELECT doc_id, unnest(list_distinct(
-        list_transform(generate_series(1, len(t) - 4),
-                       i -> array_to_string(t[i:i+4], ' '))
+        list_transform(generate_series(1, len(t) - {k - 1}),
+                       i -> array_to_string(t[i:i+{k - 1}], ' '))
       )) AS g
-      FROM toks WHERE len(t) >= 5
+      FROM toks WHERE len(t) >= {k}
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
     inter AS (
@@ -905,7 +915,7 @@ _NEAR_DUP_TRUTH_SQL = """
       SELECT a, b FROM inter
       JOIN sizes sa ON sa.doc_id = a
       JOIN sizes sb ON sb.doc_id = b
-      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= {thr!r}
     ),
     exact AS (
       SELECT a.doc_id AS a, b.doc_id AS b
@@ -928,6 +938,9 @@ _NEAR_DUP_TRUTH_SQL = """
     )
     SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM rec
 """
+
+
+_NEAR_DUP_TRUTH_SQL = _near_dup_truth_sql(CFG)
 
 
 # ---------------------------------------------------------------------------

@@ -67,11 +67,75 @@ def fake_decoder(payload: bytes, n_features: int = _FAKE_PROJ_DIM) -> list[float
     return (feat / denom if denom else feat).astype(np.float32).tolist()
 
 
-def strict_decoder(payload: bytes, n_features: int = 8) -> list[float]:
-    raise NotImplementedError(
-        "real media decode requires PIL/torchaudio/ffmpeg (not in this "
-        "container); plug the decoder in via extract_features(decoder=...)"
+try:  # real image decoding is OPTIONAL: PIL is not in this container,
+    # but a deployment that has it gets real features with no code
+    # change (round-3 verdict item 5). The guard is import-time so the
+    # decode path carries no per-call try.
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:  # pragma: no cover — exercised only where PIL exists
+    _PIL_Image = None
+
+
+def pil_decoder(payload: bytes, n_features: int = _FAKE_PROJ_DIM) -> list[float]:
+    """Real image decode when PIL is importable: decode -> 16x16
+    grayscale thumbnail -> seeded projection of the 256 pixel values to
+    n_features -> L2-normalize (the same output contract as
+    fake_decoder, so downstream similarity plumbing is identical).
+    Payloads PIL cannot decode (audio, video, corrupt images) fall back
+    PER PAYLOAD to the deterministic byte-histogram stand-in — the
+    pipeline stays total over mixed-modality tables. Without PIL the
+    whole function IS fake_decoder."""
+    if _PIL_Image is None:
+        return fake_decoder(payload, n_features)
+    import io
+
+    try:
+        with _PIL_Image.open(io.BytesIO(payload)) as im:
+            px = np.asarray(
+                im.convert("L").resize((16, 16)), dtype=np.float64
+            ).ravel()
+    except Exception:  # noqa: BLE001 — undecodable payload, not a bug
+        return fake_decoder(payload, n_features)
+    proj = (
+        _FAKE_PROJ
+        if n_features == _FAKE_PROJ_DIM
+        else np.random.default_rng(0xDEC0DE).standard_normal((256, n_features))
     )
+    feat = px @ proj
+    denom = np.linalg.norm(feat)
+    return (feat / denom if denom else feat).astype(np.float32).tolist()
+
+
+# what extract_features uses by default: real features where PIL
+# exists, the deterministic stand-in otherwise — resolved at import so
+# tests in this container stay hermetic
+default_decoder = fake_decoder if _PIL_Image is None else pil_decoder
+
+
+def strict_decoder(payload: bytes, n_features: int = _FAKE_PROJ_DIM) -> list[float]:
+    """Decode-or-raise: with PIL, an undecodable payload is an ERROR
+    (no silent fallback — for image-only tables where a fallback would
+    mask corruption); without PIL, always raises with the integration
+    point documented."""
+    if _PIL_Image is None:
+        raise NotImplementedError(
+            "real media decode requires PIL/torchaudio/ffmpeg (not in this "
+            "container); plug the decoder in via extract_features(decoder=...)"
+        )
+    import io
+
+    with _PIL_Image.open(io.BytesIO(payload)) as im:  # raises on corrupt
+        px = np.asarray(
+            im.convert("L").resize((16, 16)), dtype=np.float64
+        ).ravel()
+    proj = (
+        _FAKE_PROJ
+        if n_features == _FAKE_PROJ_DIM
+        else np.random.default_rng(0xDEC0DE).standard_normal((256, n_features))
+    )
+    feat = px @ proj
+    denom = np.linalg.norm(feat)
+    return (feat / denom if denom else feat).astype(np.float32).tolist()
 
 
 FRAME_SCHEMA = "id long, frame_idx int, frame binary"
@@ -175,14 +239,19 @@ def extract_features(
     df: DataFrame,
     id_col: str = "id",
     payload_col: str = "payload",
-    decoder: Callable[[bytes], list[float]] = fake_decoder,
+    decoder: Callable[[bytes], list[float]] | None = None,
     batch_rows: int = 256,
 ) -> DataFrame:
     """(id, n_bytes, magic_hex, modality, feature) via mapInPandas.
 
     Batches are re-chunked to `batch_rows` inside the iterator so a
     partition of large payloads never materializes at once.
+
+    `decoder` defaults to `default_decoder`: real PIL features when PIL
+    is importable on the executors, the deterministic byte-histogram
+    stand-in otherwise.
     """
+    decoder = decoder or default_decoder
     cols = [id_col, payload_col]
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -40,11 +40,16 @@ def with_cosine(pairs: DataFrame, a_col: str = "qv", b_col: str = "v") -> DataFr
     """Sequential-fold cosine (Catalyst HOF): bit-matches DuckDB's
     list_dot_product fold order, so the brute/oracle paths stay
     value-exact vs the SQL oracle. One interpreted fold per pair — fine
-    for oracle baselines, use `with_cosine_vec` on the scale paths."""
+    for oracle baselines, use `with_cosine_vec` on the scale paths.
+
+    Zero-norm guard (same contract as `with_cosine_vec`): 0/0 would be
+    NaN, and Spark orders NaN ABOVE every double — a zero vector would
+    rank FIRST in top-k and pass every >= threshold filter. Score NULL
+    instead, which every filter/ordering drops."""
+    den = _norm(F.col(a_col)) * _norm(F.col(b_col))
     return pairs.withColumn(
         "cos_sim",
-        _dot(F.col(a_col), F.col(b_col))
-        / (_norm(F.col(a_col)) * _norm(F.col(b_col))),
+        F.when(den > 0, _dot(F.col(a_col), F.col(b_col)) / den),
     )
 
 

@@ -81,6 +81,28 @@ def _version_path(index_dir: str, batch_id: int) -> str:
     return os.path.join(index_dir, f"batch={batch_id}")
 
 
+def _require_local(path: str | None, what: str) -> None:
+    """The restart/versioning source of truth in this module is
+    os.path.exists/isdir/listdir, which silently report 'missing' for
+    non-local URIs (s3://, hdfs://) — `had_initial` would be False on
+    every batch, batch=-1 overwritten each batch, and a restarted
+    batch 0 would probe the cold in-memory index instead of the
+    persisted warm initial. Fail fast the way io.py's lineage writer
+    explicitly skips remote run_dirs: a remote deployment should back
+    these dirs with Iceberg table snapshots (module docstring) or
+    mount the store locally."""
+    if path is None:
+        return
+    if "://" in path:
+        # even file:// would break: os.path.exists("file:///x") is False
+        raise ValueError(
+            f"{what}={path!r}: URI schemes are not supported — this "
+            "module resolves versions/restarts via the local filesystem "
+            "(os.path), which cannot see scheme-qualified stores; use a "
+            "plain local path, or an Iceberg-backed deployment"
+        )
+
+
 def stream_dedup_increment(
     stream: DataFrame,
     state: StreamIncrementState,
@@ -112,8 +134,18 @@ def stream_dedup_increment(
     threshold can otherwise flip vs a batch run — the trade the batch
     docstring documents). In production this is simply the crawl's
     document table; only the borderline sliver's texts are ever read.
+    The FIRST batch has no prior store but still gets exact
+    verification: an empty base_docs frame is passed, so
+    `dedup_increment` verifies new-new borderline pairs against the
+    batch's own texts (texts = batch ∪ base) — with docs_dir set,
+    EVERY batch's decisions match the batch pipeline's, including
+    batch 0.
     """
     cfg = cfg or DedupConfig()
+    _require_local(index_dir, "index_dir")
+    _require_local(docs_dir, "docs_dir")
+    _require_local(assignments_dir, "assignments_dir")
+    _require_local(merges_dir, "merges_dir")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -159,6 +191,16 @@ def stream_dedup_increment(
                 base_docs = spark.read.parquet(
                     *[os.path.join(docs_dir, p) for p in prior]
                 ).select(id_col, text_col)
+            else:
+                # first batch: no prior store, but verification must
+                # still run — an EMPTY base frame makes dedup_increment
+                # exact-verify new-new borderline pairs against the
+                # batch's own texts (texts = batch ∪ base). Without
+                # this, batch 0's borderline pairs would be decided by
+                # the MinHash estimate while every later batch (and the
+                # batch pipeline) exact-verifies — a borderline pair in
+                # the first batch could flip vs ground truth.
+                base_docs = batch_df.select(id_col, text_col).limit(0)
 
         inc = dedup_increment(
             spark,
@@ -208,31 +250,42 @@ def resolved_assignments(
 
     Merges are applied in batch order: batch i's merge target is a
     cluster id that is live AT batch i and can only be remapped by a
-    LATER batch's map, so one sequential pass resolves every chain
-    (depth <= number of batches, each step a small broadcast-shaped
-    join). is_canonical is recomputed against the final cluster id.
+    LATER batch's map. The maps are composed to a single root map ON
+    THE DRIVER (the merge log is broadcast-sized by construction — one
+    row per bridged base cluster, collected here exactly as the batch
+    list used to be) and applied with ONE broadcast join. The previous
+    formulation joined once per batch, growing the logical plan
+    linearly with batch count — planning time and driver memory blew
+    up on long-running streams even though each step was tiny.
+    is_canonical is recomputed against the final cluster id.
     """
     a = spark.read.parquet(assignments_dir).select(
         "doc_id", "cluster_id"
     )
     if merges_dir is not None and os.path.isdir(merges_dir):
-        merges = spark.read.parquet(merges_dir)
-        batches = sorted(
-            r["batch"] for r in merges.select("batch").distinct().collect()
+        rows = (
+            spark.read.parquet(merges_dir)
+            .select("batch", "old_cluster_id", "merged_into")
+            .collect()
         )
-        for b in batches:
-            m = merges.filter(F.col("batch") == b).select(
-                F.col("old_cluster_id"), F.col("merged_into")
+        rows.sort(key=lambda r: r["batch"])
+        root: dict[int, int] = {}
+        for r in rows:
+            old, into = r["old_cluster_id"], r["merged_into"]
+            # batch order => `into` is live at this batch; resolve any
+            # EARLIER chain ending at `old`, and `into` itself may be
+            # remapped by a later batch — handled because later rows
+            # update every key currently pointing at their `old`
+            root = {k: (into if v == old else v) for k, v in root.items()}
+            root[old] = into
+        if root:
+            m = F.broadcast(
+                spark.createDataFrame(
+                    list(root.items()), "old_cluster_id long, merged_into long"
+                )
             )
-            a = (
-                a.join(
-                    F.broadcast(m),
-                    a.cluster_id == m.old_cluster_id,
-                    "left",
-                )
-                .select(
-                    "doc_id",
-                    F.coalesce("merged_into", "cluster_id").alias("cluster_id"),
-                )
+            a = a.join(m, a.cluster_id == m.old_cluster_id, "left").select(
+                "doc_id",
+                F.coalesce("merged_into", "cluster_id").alias("cluster_id"),
             )
     return a.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))

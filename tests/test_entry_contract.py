@@ -63,3 +63,32 @@ def test_every_oracle_references_a_registered_table():
         assert any(t in low for t in TABLES) or "(values" in low, (
             f"{name}: no known table in SQL"
         )
+
+
+def test_truth_sql_is_rendered_from_config():
+    """Round-3 verdict item 1: the flagship ground-truth oracle must be
+    a FUNCTION of the config, not a hardcoded twin. Changing
+    shingle_k / jaccard_verify_threshold must change the rendered SQL
+    (so a config drift breaks this test instead of silently
+    desynchronizing the oracle from the pipeline it checks)."""
+    from deduplication_spark.config import DedupConfig
+
+    cfg = DedupConfig()
+    sql = entry._near_dup_truth_sql(cfg)
+    # the module-level constant the oracle_sql() dict serves IS the
+    # rendering at the entry CFG
+    assert sql == entry._NEAR_DUP_TRUTH_SQL
+    # config constants appear where the semantics need them
+    k = cfg.shingle_k
+    assert f"t[i:i+{k - 1}]" in sql          # k-token slice (1-based incl.)
+    assert f"len(t) - {k - 1}" in sql        # gram positions
+    assert f"len(t) >= {k}" in sql           # min-token guard
+    assert f">= {cfg.jaccard_verify_threshold!r}" in sql
+
+    # a different config renders a DIFFERENT oracle
+    other = DedupConfig(shingle_k=7, min_doc_tokens=7)
+    sql7 = entry._near_dup_truth_sql(other)
+    assert sql7 != sql
+    assert "t[i:i+6]" in sql7 and "len(t) >= 7" in sql7
+    loose = DedupConfig(jaccard_verify_threshold=0.7)
+    assert ">= 0.7" in entry._near_dup_truth_sql(loose)

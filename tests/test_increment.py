@@ -230,3 +230,114 @@ def test_id_contract_enforced(spark, split, inc_run):
     )
     with pytest.raises(ValueError, match="must exceed"):
         dedup_increment(spark, overlapping, inc.index, cfg)
+
+
+def test_three_increment_chain_equals_full_run(spark, docs):
+    """Round-3 verdict item 4: the index's self-sustaining update
+    contract, tested directly on the batch path (q_stream_near_dup
+    proves the same through the streaming wrapper). Corpus split into
+    4 id-quarters: full dedup on Q0, then THREE successive
+    dedup_increment calls (index threaded through, base_docs = the
+    accumulated prior text) must reproduce the one-shot full run's
+    partition exactly — same tiers (exact+minhash: the increment tier
+    set), exact verification everywhere, so edge adjudication is
+    batch-invariant."""
+    cfg = DedupConfig()
+    cuts = [0, 200, 400, 600, 10**9]
+    parts = [
+        docs.filter(
+            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        )
+        for i in range(4)
+    ]
+
+    full = dedup(spark, docs, cfg, tiers=("exact", "minhash"))
+    want = {r["doc_id"]: r["cluster_id"] for r in full.assignments.collect()}
+
+    base = dedup(spark, parts[0], cfg, tiers=("exact", "minhash"))
+    index = index_from_enriched(base.enriched, base.assignments, cfg=cfg)
+    got = {r["doc_id"]: r["cluster_id"] for r in base.assignments.collect()}
+    seen = parts[0]
+    for batch in parts[1:]:
+        inc = dedup_increment(spark, batch, index, cfg, base_docs=seen)
+        merge = {
+            r["old_cluster_id"]: r["merged_into"] for r in inc.merges.collect()
+        }
+        got = {d: merge.get(c, c) for d, c in got.items()}
+        got.update(
+            {r["doc_id"]: r["cluster_id"] for r in inc.assignments.collect()}
+        )
+        index = inc.index
+        seen = seen.union(batch)
+
+    assert got == want
+
+
+def test_merge_chain_spans_batches(spark):
+    """A merge CHAIN across non-adjacent batches: batch 1 merges
+    cluster 3 -> 2, batch 3 merges 2 -> 1; resolving the accumulated
+    log in batch order must land doc 3 in cluster 1. Exercises both
+    the per-batch index remap (members of 3 carry cluster 2 into
+    batch 3) and the cross-batch fold used by
+    streaming.resolved_assignments."""
+    X = " ".join(f"x{i}" for i in range(200))
+    A = [f"a{i}" for i in range(40)]
+    B = [f"b{i}" for i in range(40)]
+    C = [f"c{i}" for i in range(40)]
+    j = " ".join
+    cfg = DedupConfig()
+    # pairwise j = 200/280 ~ 0.71 < 0.8: three separate base clusters
+    base_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [j([X] + A), j([X] + B), j([X] + C)],
+            }
+        )
+    )
+    base = dedup(spark, base_df, cfg, tiers=("exact", "minhash"))
+    assert base.assignments.select("cluster_id").distinct().count() == 3
+    index = index_from_enriched(base.enriched, base.assignments, cfg=cfg)
+
+    # batch 1: X + B/2 + C/2 -> j ~ 0.846 with docs 2 and 3, 0.714 with 1
+    b1 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10], "text": [j([X] + B[:20] + C[:20])]})
+    )
+    inc1 = dedup_increment(spark, b1, index, cfg, base_docs=base_df)
+    assert {
+        (r["old_cluster_id"], r["merged_into"]) for r in inc1.merges.collect()
+    } == {(3, 2)}
+
+    # batch 2: unrelated filler — no merges, chain must survive a gap
+    b2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [20], "text": [j(f"q{i}" for i in range(60))]})
+    )
+    seen = base_df.union(b1)
+    inc2 = dedup_increment(spark, b2, inc1.index, cfg, base_docs=seen)
+    assert inc2.merges.count() == 0
+
+    # batch 3: X + A/2 + B/2 -> links clusters 1 and 2 -> merge 2 -> 1
+    b3 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [30], "text": [j([X] + A[:20] + B[:20])]})
+    )
+    seen = seen.union(b2)
+    inc3 = dedup_increment(spark, b3, inc2.index, cfg, base_docs=seen)
+    assert {
+        (r["old_cluster_id"], r["merged_into"]) for r in inc3.merges.collect()
+    } == {(2, 1)}
+
+    # fold the accumulated merge log in batch order: 3 -> 2 -> 1
+    cmap = {r["doc_id"]: r["cluster_id"] for r in base.assignments.collect()}
+    for inc in (inc1, inc2, inc3):
+        merge = {
+            r["old_cluster_id"]: r["merged_into"] for r in inc.merges.collect()
+        }
+        cmap = {d: merge.get(c, c) for d, c in cmap.items()}
+        cmap.update(
+            {r["doc_id"]: r["cluster_id"] for r in inc.assignments.collect()}
+        )
+    assert cmap == {1: 1, 2: 1, 3: 1, 10: 1, 20: 20, 30: 1}
+
+    # the threaded index agrees: every member of the chain in cluster 1
+    idx = {r["member_id"]: r["cluster_id"] for r in inc3.index.collect()}
+    assert idx == {1: 1, 2: 1, 3: 1, 10: 1, 20: 20, 30: 1}

@@ -52,8 +52,36 @@ def test_fake_decoder_unit():
 
 
 def test_strict_decoder_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        strict_decoder(b"anything")
+    from deduplication_spark.operators.multimodal import _PIL_Image
+
+    if _PIL_Image is None:
+        # no PIL in this container: strict decode is an explicit stub
+        with pytest.raises(NotImplementedError):
+            strict_decoder(b"anything")
+    else:  # pragma: no cover — exercised only where PIL is installed
+        # with PIL, strict means raise on UNDECODABLE, decode otherwise
+        with pytest.raises(Exception):
+            strict_decoder(b"anything")
+
+
+def test_default_decoder_resolves_by_environment():
+    """The import guard (round-3 verdict item 5): without PIL the
+    default decoder IS the deterministic stand-in, and pil_decoder
+    degrades to it per payload; with PIL, real features come out of the
+    same call with no code change."""
+    from deduplication_spark.operators.multimodal import (
+        _PIL_Image,
+        default_decoder,
+        pil_decoder,
+    )
+
+    if _PIL_Image is None:
+        assert default_decoder is fake_decoder
+        assert pil_decoder(b"not an image") == fake_decoder(b"not an image")
+    else:  # pragma: no cover
+        assert default_decoder is pil_decoder
+        # undecodable payloads still degrade deterministically
+        assert pil_decoder(b"not an image") == fake_decoder(b"not an image")
 
 
 def test_sniff_modality():

@@ -43,9 +43,12 @@ class DedupConfig:
     substring_min_len: int = 512  # spans >= this are caught w.h.p., not
                                   # deterministically: the tier needs one
                                   # boundary-synchronized interior chunk
-                                  # inside the span; with avg=128 a
-                                  # 512-byte span misses with p ~ 2%
-                                  # (no anchor / edge desync). Residual
+                                  # inside the span. MEASURED (tools/
+                                  # substring_missrate.py, 2000 planted
+                                  # pairs x 10 seeds, adversarial
+                                  # offsets): 0.8% miss at exactly 512
+                                  # bytes, 0.0% at >= 768; pytest-bound
+                                  # <= 5% (test_chunking.py). Residual
                                   # risk is the standard CDC trade
                                   # (LBFS) — verified pairs are exact.
 

@@ -143,3 +143,36 @@ def test_cosine_near_dup_lsh_matches_brute_at_high_threshold(spark):
     assert set(lsh) <= set(brute)
     assert all(lsh[k] == brute[k] for k in lsh)
     assert len(lsh) >= 0.9 * len(brute), f"LSH recall too low: {len(lsh)}/{len(brute)}"
+
+
+def test_default_lsh_config_recall_floor(spark):
+    """Floor for the committed recall table (BENCH/ann_recall.json,
+    tools/ann_recall.py): at the cosine_near_dup DEFAULT config
+    (16 tables x 8 bits) and threshold 0.9, pairs planted at cosine
+    0.91 — just above threshold, the hardest angle — must be recovered
+    at >= 0.95 recall (measured: 1.0). Catches a bucketing regression
+    (seed drift, packing change, plane-draw change) that would silently
+    collapse recall."""
+    from deduplication_spark.operators.similarity import cosine_near_dup
+
+    rng = np.random.default_rng(7)
+    n, dim, c = 120, 64, 0.91
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    g = rng.standard_normal((n, dim))
+    perp = g - (np.einsum("ij,ij->i", g, base))[:, None] * base
+    perp /= np.linalg.norm(perp, axis=1, keepdims=True)
+    near = c * base + np.sqrt(1 - c**2) * perp
+    rows = []
+    for i in range(n):
+        rows.append({"vec_id": i, "embedding": base[i].tolist()})
+        rows.append({"vec_id": 1000 + i, "embedding": near[i].tolist()})
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+
+    found = {
+        (r["a_id"], r["b_id"])
+        for r in cosine_near_dup(emb, 0.9, method="lsh").collect()
+    }
+    planted = {(i, 1000 + i) for i in range(n)}
+    recall = len(found & planted) / n
+    assert recall >= 0.95, f"default-config LSH recall {recall:.3f}"

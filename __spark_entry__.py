@@ -860,6 +860,71 @@ def q_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+    lineitem is pre-filtered on l_returnflag (pushed to the scan) before
+    joining orders (key join) and customer|><|nation. Only NATION is
+    forced-broadcast (tiny at any scale); customer is ~1/10 of orders —
+    a forced broadcast would be wrong at web scale, so AQE decides that
+    join (the tpch_promo_revenue precedent for part). Exact DECIMAL
+    revenue; top-k ordering tie-broken by key so the limit is
+    deterministic cross-engine."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    dims = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).select("c_custkey", "c_name", "n_name")
+    agg = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(dims, F.col("o_custkey") == dims.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+def q_tpch_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300 — a
+    groupBy-HAVING on the fact table FIRST (shrinks lineitem to the few
+    qualifying keys), then key joins back to orders and customer. The
+    aggregate-then-join order is the scale-correct plan: the join
+    probes |qualifying orders| rows, never |lineitem|."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c.select("c_custkey", "c_name"), o.o_custkey == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "l_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (§2.7 breadth beyond global top-k): the 5 longest
+    docs per language, rank tie-broken by doc_id. One shuffle on the
+    group key; the window never materializes more than a partition."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        # BIGINT to match DuckDB's row_number type (events_sessionize
+        # precedent: the driver's schema compare is type-exact)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
 # Ground-truth oracle for the FLAGSHIP output: the tiered pipeline's
 # cluster partition, recomputed from first principles in DuckDB.
 #
@@ -1146,6 +1211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_promo_revenue": q_tpch_promo_revenue,
         "tpch_product_profit": q_tpch_product_profit,
         "quiet_customers": q_quiet_customers,
+        "tpch_returned_revenue": q_tpch_returned_revenue,
+        "tpch_big_orders": q_tpch_big_orders,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "embedding_near_dup": q_embedding_near_dup,
         "frame_sample": q_frame_sample,
         "media_resize": q_media_resize,
@@ -1445,6 +1513,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(100.0 * promo_rev / total_rev, 6) AS promo_revenue_pct,
                    promo_rev, total_rev
             FROM a
+        """,
+        "tpch_returned_revenue": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "tpch_big_orders": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum_qty > 300
+            )
+            SELECT c_custkey, c_name, l_orderkey, o_totalprice, sum_qty
+            FROM big
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "top_docs_per_lang": """
+            SELECT doc_id, lang, n_chars, rank FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                     ) AS rank
+              FROM documents
+            ) WHERE rank <= 5
         """,
         "frame_sample": """
             WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),

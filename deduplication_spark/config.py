@@ -46,9 +46,11 @@ class DedupConfig:
                                   # inside the span. MEASURED (tools/
                                   # substring_missrate.py, 2000 planted
                                   # pairs x 10 seeds, adversarial
-                                  # offsets): 0.8% miss at exactly 512
-                                  # bytes, 0.0% at >= 768; pytest-bound
-                                  # <= 5% (test_chunking.py). Residual
+                                  # offsets incl. doc-start/doc-end
+                                  # flush): ~0.6-0.8% miss at exactly
+                                  # 512 bytes, 0.0% at >= 768; pytest-
+                                  # bound <= 5% (test_chunking.py).
+                                  # Residual
                                   # risk is the standard CDC trade
                                   # (LBFS) — verified pairs are exact.
 

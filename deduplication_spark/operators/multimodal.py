@@ -57,14 +57,7 @@ def fake_decoder(payload: bytes, n_features: int = _FAKE_PROJ_DIM) -> list[float
     hist = np.bincount(
         np.frombuffer(payload, dtype=np.uint8), minlength=256
     ).astype(np.float64)
-    proj = (
-        _FAKE_PROJ
-        if n_features == _FAKE_PROJ_DIM
-        else np.random.default_rng(0xDEC0DE).standard_normal((256, n_features))
-    )
-    feat = hist @ proj
-    denom = np.linalg.norm(feat)
-    return (feat / denom if denom else feat).astype(np.float32).tolist()
+    return _project(hist, n_features)
 
 
 try:  # real image decoding is OPTIONAL: PIL is not in this container,
@@ -76,39 +69,64 @@ except ImportError:  # pragma: no cover — exercised only where PIL exists
     _PIL_Image = None
 
 
-def pil_decoder(payload: bytes, n_features: int = _FAKE_PROJ_DIM) -> list[float]:
-    """Real image decode when PIL is importable: decode -> 16x16
-    grayscale thumbnail -> seeded projection of the 256 pixel values to
-    n_features -> L2-normalize (the same output contract as
-    fake_decoder, so downstream similarity plumbing is identical).
-    Payloads PIL cannot decode (audio, video, corrupt images) fall back
-    PER PAYLOAD to the deterministic byte-histogram stand-in — the
-    pipeline stays total over mixed-modality tables. Without PIL the
-    whole function IS fake_decoder."""
-    if _PIL_Image is None:
-        return fake_decoder(payload, n_features)
-    import io
-
-    try:
-        with _PIL_Image.open(io.BytesIO(payload)) as im:
-            px = np.asarray(
-                im.convert("L").resize((16, 16)), dtype=np.float64
-            ).ravel()
-    except Exception:  # noqa: BLE001 — undecodable payload, not a bug
-        return fake_decoder(payload, n_features)
+def _project(vec: np.ndarray, n_features: int) -> list[float]:
+    """Shared tail of every decoder: seeded projection of a 256-value
+    vector to n_features + L2-normalize. ONE copy so the projection
+    contract (seed, fast-path, zero-denom guard) cannot desynchronize
+    between the fake/PIL/strict paths."""
     proj = (
         _FAKE_PROJ
         if n_features == _FAKE_PROJ_DIM
         else np.random.default_rng(0xDEC0DE).standard_normal((256, n_features))
     )
-    feat = px @ proj
+    feat = vec @ proj
     denom = np.linalg.norm(feat)
     return (feat / denom if denom else feat).astype(np.float32).tolist()
 
 
+def _pil_pixels(payload: bytes) -> np.ndarray:
+    """Decode -> 16x16 grayscale -> 256 pixel values. Raises on a
+    missing PIL (callers decide the policy) or an undecodable payload."""
+    if _PIL_Image is None:
+        raise RuntimeError(
+            "PIL decode requested but PIL is not importable in this "
+            "process. On a cluster this means the driver has Pillow and "
+            "an executor does not — a SILENT per-process fallback would "
+            "make the same payload decode differently depending on which "
+            "executor got it; install Pillow on all executors or pass "
+            "decoder=fake_decoder explicitly."
+        )
+    import io
+
+    with _PIL_Image.open(io.BytesIO(payload)) as im:
+        return np.asarray(
+            im.convert("L").resize((16, 16)), dtype=np.float64
+        ).ravel()
+
+
+def pil_decoder(payload: bytes, n_features: int = _FAKE_PROJ_DIM) -> list[float]:
+    """Real image decode: _pil_pixels -> seeded projection (the same
+    output contract as fake_decoder, so downstream similarity plumbing
+    is identical). Payloads PIL cannot decode (audio, video, corrupt
+    images) fall back PER PAYLOAD to the deterministic byte-histogram
+    stand-in — the pipeline stays total over mixed-modality tables.
+    A MISSING PIL is not a fallback case: it raises (per-process
+    fallback on a mixed cluster would decode the same payload
+    differently per executor)."""
+    try:
+        px = _pil_pixels(payload)
+    except RuntimeError:  # PIL missing — env error, never silent
+        raise
+    except Exception:  # noqa: BLE001 — undecodable payload, not a bug
+        return fake_decoder(payload, n_features)
+    return _project(px, n_features)
+
+
 # what extract_features uses by default: real features where PIL
-# exists, the deterministic stand-in otherwise — resolved at import so
-# tests in this container stay hermetic
+# exists, the deterministic stand-in otherwise — resolved ONCE at
+# import on the submitting process (tests in this container stay
+# hermetic); if the choice lands on pil_decoder, executors without PIL
+# raise rather than silently diverge
 default_decoder = fake_decoder if _PIL_Image is None else pil_decoder
 
 
@@ -122,20 +140,7 @@ def strict_decoder(payload: bytes, n_features: int = _FAKE_PROJ_DIM) -> list[flo
             "real media decode requires PIL/torchaudio/ffmpeg (not in this "
             "container); plug the decoder in via extract_features(decoder=...)"
         )
-    import io
-
-    with _PIL_Image.open(io.BytesIO(payload)) as im:  # raises on corrupt
-        px = np.asarray(
-            im.convert("L").resize((16, 16)), dtype=np.float64
-        ).ravel()
-    proj = (
-        _FAKE_PROJ
-        if n_features == _FAKE_PROJ_DIM
-        else np.random.default_rng(0xDEC0DE).standard_normal((256, n_features))
-    )
-    feat = px @ proj
-    denom = np.linalg.norm(feat)
-    return (feat / denom if denom else feat).astype(np.float32).tolist()
+    return _project(_pil_pixels(payload), n_features)
 
 
 FRAME_SCHEMA = "id long, frame_idx int, frame binary"

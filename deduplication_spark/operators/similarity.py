@@ -42,14 +42,20 @@ def with_cosine(pairs: DataFrame, a_col: str = "qv", b_col: str = "v") -> DataFr
     value-exact vs the SQL oracle. One interpreted fold per pair — fine
     for oracle baselines, use `with_cosine_vec` on the scale paths.
 
-    Zero-norm guard (same contract as `with_cosine_vec`): 0/0 would be
-    NaN, and Spark orders NaN ABOVE every double — a zero vector would
-    rank FIRST in top-k and pass every >= threshold filter. Score NULL
-    instead, which every filter/ordering drops."""
+    Zero-norm/NaN guard (same contract as `with_cosine_vec`): 0/0 would
+    be NaN, and Spark orders NaN ABOVE every double AND evaluates
+    NaN > 0 as TRUE — so both a zero vector and a vector with a NaN
+    component would rank FIRST in top-k and pass every >= threshold
+    filter. `den > 0` alone does not catch the NaN case (the when-branch
+    is taken); nanvl folds any NaN that slips through the division into
+    SQL NULL, which every filter/ordering then drops."""
     den = _norm(F.col(a_col)) * _norm(F.col(b_col))
     return pairs.withColumn(
         "cos_sim",
-        F.when(den > 0, _dot(F.col(a_col), F.col(b_col)) / den),
+        F.nanvl(
+            F.when(den > 0, _dot(F.col(a_col), F.col(b_col)) / den),
+            F.lit(None).cast("double"),
+        ),
     )
 
 
@@ -117,7 +123,11 @@ def cosine_topk(
     )
     sims = with_cosine(
         q.crossJoin(e).filter(F.col("neighbor_id") != F.col("query_id"))
-    )
+    ).filter(F.col("cos_sim").isNotNull())
+    # NULL-scored pairs (zero-norm/NaN/ragged) are dropped BEFORE the
+    # window: desc ordering sorts NULLs last but still ASSIGNS ranks,
+    # so without the filter unscoreable neighbors would pad a sparse
+    # query's top-k with NULL rows
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -356,7 +366,9 @@ def lsh_topk(
         )
         .select("query_id", "qv", "neighbor_id", "v")
     )
-    sims = with_cosine_vec(cand)
+    # same NULL-drop as cosine_topk: unscoreable bucket-mates must not
+    # occupy rank slots
+    sims = with_cosine_vec(cand).filter(F.col("cos_sim").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )

@@ -259,6 +259,10 @@ def resolved_assignments(
     up on long-running streams even though each step was tiny.
     is_canonical is recomputed against the final cluster id.
     """
+    # same guard as the write path: os.path.isdir on a URI-scheme
+    # merges_dir is silently False, which would DROP the whole merge
+    # log and return stale pre-merge cluster ids — loud beats wrong
+    _require_local(merges_dir, "merges_dir")
     a = spark.read.parquet(assignments_dir).select(
         "doc_id", "cluster_id"
     )

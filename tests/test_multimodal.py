@@ -66,9 +66,11 @@ def test_strict_decoder_is_explicit_stub():
 
 def test_default_decoder_resolves_by_environment():
     """The import guard (round-3 verdict item 5): without PIL the
-    default decoder IS the deterministic stand-in, and pil_decoder
-    degrades to it per payload; with PIL, real features come out of the
-    same call with no code change."""
+    default decoder IS the deterministic stand-in and pil_decoder
+    raises LOUDLY (a silent per-process fallback on a mixed cluster
+    would decode the same payload differently per executor); with PIL,
+    real features come out of the same call with no code change, and
+    only UNDECODABLE payloads degrade (deterministically, everywhere)."""
     from deduplication_spark.operators.multimodal import (
         _PIL_Image,
         default_decoder,
@@ -77,7 +79,8 @@ def test_default_decoder_resolves_by_environment():
 
     if _PIL_Image is None:
         assert default_decoder is fake_decoder
-        assert pil_decoder(b"not an image") == fake_decoder(b"not an image")
+        with pytest.raises(RuntimeError, match="PIL"):
+            pil_decoder(b"not an image")
     else:  # pragma: no cover
         assert default_decoder is pil_decoder
         # undecodable payloads still degrade deterministically

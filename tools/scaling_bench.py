@@ -10,7 +10,8 @@ levels on this 32-core host:
 
 Each level runs in a FRESH subprocess (own JVM) so nothing is warm-
 shared; the input is a deterministic synthetic corpus (seed 42) written
-once and read by both. Results land in BENCH/BASELINE.md.
+once and read by both. Results APPEND to BENCH/scaling_runs.jsonl;
+BENCH/BASELINE.md is hand-curated from that record.
 
 Usage: python tools/scaling_bench.py [n_docs]      (default 20000)
        python tools/scaling_bench.py --worker <corpus_dir> <cores>

@@ -81,8 +81,11 @@ def _spark():
     return spark
 
 
-def time_pipeline(spark, path: str, repeats: int) -> list[float]:
-    runs = []
+def time_pipeline(spark, path: str, repeats: int):
+    """Returns (wall_sec list, last run's DedupResult) — the result is
+    handed back so callers can count clusters without re-running the
+    whole pipeline."""
+    runs, res = [], None
     for _ in range(repeats):
         t0 = time.time()
         res = dedup(
@@ -90,7 +93,7 @@ def time_pipeline(spark, path: str, repeats: int) -> list[float]:
         )
         res.assignments.write.format("noop").mode("overwrite").save()
         runs.append(round(time.time() - t0, 2))
-    return runs
+    return runs, res
 
 
 def candidate_metrics(spark, skew_path: str, cfg: DedupConfig) -> tuple[dict, int]:
@@ -168,25 +171,50 @@ def main() -> None:
         with tempfile.TemporaryDirectory() as d:
             uni_path, _ = make_corpus(args.n_docs, skewed=False, out_dir=d)
             skew_path, n_swarm = make_corpus(args.n_docs, skewed=True, out_dir=d)
+            uni_runs, _ = time_pipeline(spark, uni_path, repeats)
+            skew_runs, skew_res = time_pipeline(spark, skew_path, repeats)
             state = {
                 "n_docs": args.n_docs,
                 "swarm_size": n_swarm,
-                "uniform_runs": time_pipeline(spark, uni_path, repeats),
-                "skewed_runs": time_pipeline(spark, skew_path, repeats),
+                "uniform_runs": uni_runs,
+                "skewed_runs": skew_runs,
             }
             state["metrics"], state["n_pairs"] = candidate_metrics(
                 spark, skew_path, cfg
             )
-            state["swarm_clusters"] = swarm_cluster_count(
-                spark, skew_path, args.n_docs, n_swarm
+            # swarm-cluster check from the LAST timed run — no extra
+            # full-pipeline execution
+            state["swarm_clusters"] = (
+                skew_res.assignments.filter(
+                    skew_res.assignments.doc_id >= args.n_docs - n_swarm
+                )
+                .select("cluster_id")
+                .distinct()
+                .count()
             )
         print(json.dumps(write_report(state)))
         return
 
     sd = args.state_dir
+    if sd is None:
+        raise SystemExit("--stage requires --dir")
     os.makedirs(sd, exist_ok=True)
     state_path = os.path.join(sd, "state.json")
     state = json.load(open(state_path)) if os.path.exists(state_path) else {}
+    if args.stage != "corpus" and not state:
+        # fail BEFORE any Spark work: a later stage without corpus
+        # state would otherwise crash (KeyError/min([])) after minutes
+        # of pipeline execution
+        raise SystemExit(
+            f"no state at {state_path} — run --stage corpus first"
+        )
+    if args.stage == "finish" and not (
+        state.get("uniform_runs") and state.get("skewed_runs")
+    ):
+        raise SystemExit(
+            "finish needs at least one completed --stage uniform AND "
+            "one --stage skewed timing run"
+        )
 
     if args.stage == "corpus":
         make_corpus(args.n_docs, skewed=False, out_dir=sd)
@@ -200,7 +228,8 @@ def main() -> None:
     elif args.stage in ("uniform", "skewed"):
         spark = _spark()
         path = os.path.join(sd, args.stage)
-        state[f"{args.stage}_runs"] += time_pipeline(spark, path, repeats=1)
+        runs, _ = time_pipeline(spark, path, repeats=1)
+        state[f"{args.stage}_runs"] += runs
     elif args.stage == "finish":
         spark = _spark()
         skew_path = os.path.join(sd, "skewed")

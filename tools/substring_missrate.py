@@ -61,8 +61,17 @@ def planted_pair(rng: random.Random, span_len: int) -> tuple[str, str]:
 
     def mk() -> str:
         total = rng.randrange(1500, 3500)
+        # placements include both flush boundaries: span at byte 0
+        # (pre=0), span ending the doc exactly (pre=total-span_len,
+        # where the forced trailing cut meets the span edge), and
+        # uniform interior offsets
         pre = rng.choice(
-            [0, rng.randrange(0, 64), rng.randrange(0, total - span_len)]
+            [
+                0,
+                total - span_len,
+                rng.randrange(0, 64),
+                rng.randrange(0, total - span_len),
+            ]
         )
         suf = max(0, total - pre - span_len)
         return _rand_text(rng, pre) + span + _rand_text(rng, suf)

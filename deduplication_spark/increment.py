@@ -48,10 +48,10 @@ from pyspark.sql import functions as F
 
 from .config import DedupConfig
 from .functions.hashing import make_enrich_udf
-from .operators.candidates import bucket_pairs, estimate_prefilter, verify_jaccard
+from .operators.candidates import bucket_pairs
 from .operators.components import connected_components
 from .operators.exact import with_content_key
-from .operators.minhash_lsh import band_key_buckets, with_shingles
+from .operators.minhash_lsh import band_key_buckets, minhash_near_edges
 
 INDEX_COLS = ("member_id", "cluster_id", "content_hash", "minhash")
 
@@ -85,10 +85,18 @@ def _enrich(docs: DataFrame, cfg: DedupConfig, id_col: str, text_col: str) -> Da
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
+    mh = F.col("_e.minhash")
+    if cfg.min_doc_tokens > cfg.shingle_k:
+        # same codegen gate as pipeline.build_enriched: the
+        # "shorter docs -> exact tier only" contract is enforced at
+        # min_doc_tokens on both paths so signatures stay bit-equal
+        from .functions.text import token_count
+
+        mh = F.when(token_count(F.col("text")) >= cfg.min_doc_tokens, mh)
     return (
         with_content_key(base)
         .withColumn("_e", enr(F.col("text")))
-        .select("doc_id", "content_hash", F.col("_e.minhash").alias("minhash"))
+        .select("doc_id", "content_hash", mh.alias("minhash"))
     )
 
 
@@ -264,64 +272,63 @@ def dedup_increment(
     )
 
     # --- tier 1b: exact within the new batch (dictionary misses) -------
+    # NULL hashes (text IS NULL) are excluded exactly as in the full
+    # pipeline's exact tier: the window would group all NULL keys into
+    # one bogus duplicate cluster, and the index probe (an equi-join,
+    # which drops NULLs) would then disagree with it
     w = Window.partitionBy("content_hash")
     exact_new = (
         enriched.select("doc_id", "content_hash")
+        .filter(F.col("content_hash").isNotNull())
         .withColumn("a", F.min("doc_id").over(w))
         .filter(F.col("doc_id") != F.col("a"))
         .select("a", F.col("doc_id").alias("b"))
     )
 
-    # --- tier 2: MinHash-LSH over index ∪ new band memberships ---------
-    # One membership frame at MEMBER granularity, same skew-capped
-    # bucket machinery as the full pipeline. Old-old pairs (both ids
-    # below min_new) are dropped: the base run already adjudicated them.
-    members = band_key_buckets(
-        index.select(F.col("member_id").alias("doc_id"), "minhash"), cfg
-    ).union(band_key_buckets(enriched, cfg))
-    cand = bucket_pairs(members, ["band_key"], cap=cfg.bucket_pair_cap)
+    # --- tier 2: MinHash-LSH, probe-shaped -----------------------------
+    # Only buckets TOUCHED by the new batch are examined: the index's
+    # band memberships are left-semi-joined on the new batch's distinct
+    # band keys BEFORE the capped window/expansion, so pure-old buckets
+    # (the overwhelming majority of a big index) are never sorted or
+    # pair-expanded — cost is O(|new| x bands) probe + the touched
+    # buckets, not O(|index| x bands) per increment. Result-identical
+    # to running over the full union: untouched buckets could only
+    # contribute old-old pairs, which the b >= lo filter discarded
+    # anyway (the base run already adjudicated them); touched buckets
+    # keep their full membership, so the capped expansion and chain
+    # links inside them are unchanged.
+    new_members = band_key_buckets(enriched, cfg)
+    touched = new_members.select("band_key").distinct()
+    idx_members = (
+        band_key_buckets(
+            index.select(F.col("member_id").alias("doc_id"), "minhash"), cfg
+        )
+        .join(touched, "band_key", "left_semi")
+        # the USING-column join moves band_key to the front; re-pin the
+        # column ORDER before the positional union (union is by
+        # position — a swapped order would silently feed band keys
+        # into the doc_id column)
+        .select("doc_id", "band_key")
+    )
+    cand = bucket_pairs(
+        idx_members.union(new_members), ["band_key"], cap=cfg.bucket_pair_cap
+    )
     lsh_pairs = cand.pairs.filter(F.col("b") >= lo)
 
     sigs = index.select(
         F.col("member_id").alias("doc_id"), "minhash"
     ).union(enriched.select("doc_id", "minhash"))
-    screened = estimate_prefilter(
-        lsh_pairs,
-        sigs,
-        min_estimate=max(0.0, cfg.jaccard_verify_threshold - cfg.est_reject_margin),
-    ).localCheckpoint(eager=True)
-    hi_conf = min(1.0, cfg.jaccard_verify_threshold + cfg.est_accept_margin)
-    accepted = screened.filter(F.col("estimate") >= hi_conf)
-    borderline = screened.filter(F.col("estimate") < hi_conf)
-
-    if base_docs is None:
-        # estimate-only decision at the threshold (unbiased; trade
-        # documented in the docstring)
-        near = accepted.select("a", "b").union(
-            borderline.filter(
-                F.col("estimate") >= cfg.jaccard_verify_threshold
-            ).select("a", "b")
-        )
-    else:
+    texts = None
+    if base_docs is not None:
         texts = new_base.union(
             base_docs.select(
                 F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
             )
         )
-        border_ids = (
-            borderline.select(F.col("a").alias("doc_id"))
-            .union(borderline.select(F.col("b").alias("doc_id")))
-            .distinct()
-        )
-        border_shingles = with_shingles(
-            texts.join(border_ids, "doc_id"), cfg
-        ).select("doc_id", "shingles")
-        verified = verify_jaccard(
-            borderline.select("a", "b"),
-            border_shingles,
-            threshold=cfg.jaccard_verify_threshold,
-        )
-        near = accepted.select("a", "b").union(verified.select("a", "b"))
+    # the SAME decision procedure as the full pipeline (shared helper —
+    # see minhash_near_edges); texts=None decides borderline pairs by
+    # the estimate at the threshold (documented trade in the docstring)
+    near = minhash_near_edges(lsh_pairs, sigs, cfg, texts=texts)
 
     # near edges touch old MEMBERS; lift them to their cluster id so the
     # component election lands on the stable existing id

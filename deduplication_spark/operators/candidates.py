@@ -51,8 +51,8 @@ def _all_pairs(arr):
 @dataclass
 class CandidateResult:
     pairs: DataFrame          # (a, b) with a < b, distinct
-    metrics: DataFrame        # (n_buckets, n_capped_buckets, n_pair_edges,
-                              #  n_chain_edges, dropped_pairs)
+    metrics: DataFrame        # (n_buckets, n_capped_buckets,
+                              #  n_candidate_edges, dropped_pairs)
     shared: DataFrame | None = None  # persisted memberships (reuse_input=True);
                                      # caller unpersists after both jobs ran
 

@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 from ..config import DedupConfig
 from ..functions.hashing import band_hash_col, band_key_col, make_minhash_udf
 from ..functions.text import shingle_hashes
-from .candidates import CandidateResult, bucket_pairs, verify_jaccard
+from .candidates import (
+    CandidateResult,
+    bucket_pairs,
+    estimate_prefilter,
+    verify_jaccard,
+)
 
 
 def with_shingles(
@@ -92,11 +97,81 @@ def lsh_candidates(
     )
 
 
+def minhash_near_edges(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    texts: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Estimate-screen + verify candidate pairs -> (a, b) near edges.
+
+    THE decision procedure of the MinHash tier, shared by the full
+    pipeline (texts = the corpus) and the increment prober (texts =
+    new batch ∪ base docs when available) so the two implementations
+    can never silently desynchronize — any change to the margin
+    arithmetic or the borderline tie applies to both.
+
+    Three confidence bands from the signature estimator (margins and
+    their sigma analysis documented on DedupConfig.est_reject_margin /
+    est_accept_margin): reject below t - reject_margin, accept above
+    t + accept_margin, exact-verify the borderline sliver against
+    re-shingled `texts`. With texts=None (an increment without
+    base-corpus access), borderline pairs are decided by the estimate
+    at the threshold itself — unbiased, but a pair within ~sigma can
+    flip vs a verified run (documented trade, increment.py).
+
+    `signatures` = (id_col, minhash); `texts` = (id_col, text) —
+    shingles are recomputed for the borderline DOCS only (storing them
+    corpus-wide costs ~7 KB/row, rivaling the corpus itself).
+    """
+    screened = estimate_prefilter(
+        pairs,
+        signatures,
+        id_col=id_col,
+        min_estimate=max(
+            0.0, cfg.jaccard_verify_threshold - cfg.est_reject_margin
+        ),
+    ).localCheckpoint(eager=True)
+    hi_conf = min(1.0, cfg.jaccard_verify_threshold + cfg.est_accept_margin)
+    accepted = screened.filter(F.col("estimate") >= hi_conf)
+    borderline = screened.filter(F.col("estimate") < hi_conf)
+    if texts is None:
+        return accepted.select("a", "b").union(
+            borderline.filter(
+                F.col("estimate") >= cfg.jaccard_verify_threshold
+            ).select("a", "b")
+        )
+    border_ids = (
+        borderline.select(F.col("a").alias(id_col))
+        .union(borderline.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    border_shingles = with_shingles(texts.join(border_ids, id_col), cfg).select(
+        id_col, "shingles"
+    )
+    verified = verify_jaccard(
+        borderline.select("a", "b"),
+        border_shingles,
+        id_col=id_col,
+        threshold=cfg.jaccard_verify_threshold,
+    )
+    return accepted.select("a", "b").union(verified.select("a", "b"))
+
+
 def minhash_edges(
     docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
-    """End-to-end tier: returns (verified edges (a,b,jaccard), metrics)."""
-    enriched = with_minhash(with_shingles(docs.select(id_col, text_col), cfg), cfg)
+    """End-to-end tier: returns (verified edges (a,b,jaccard), metrics).
+
+    `enriched` is persisted: it feeds the candidate path AND both sides
+    of the verify join, so without the cache the corpus-wide shingle +
+    MinHash UDF subtree would execute up to 3x per action. Callers that
+    keep the returned frames long-lived may `spark.catalog.clearCache()`
+    when done."""
+    enriched = with_minhash(
+        with_shingles(docs.select(id_col, text_col), cfg), cfg
+    ).persist()
     cand = lsh_candidates(enriched, cfg, id_col)
     edges = verify_jaccard(
         cand.pairs,

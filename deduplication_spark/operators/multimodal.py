@@ -190,6 +190,8 @@ def sample_frames(
                 for i, p in zip(
                     chunk[id_col].astype("int64"), chunk[payload_col]
                 ):
+                    if p is None:  # missing media -> no frames, no crash
+                        continue
                     for j, fr in enumerate(extractor(p, n_frames)):
                         ids.append(i)
                         idxs.append(j)
@@ -225,12 +227,20 @@ def resize_media(
         for frame in it:
             for s in range(0, len(frame), batch_rows):
                 chunk = frame.iloc[s : s + batch_rows]
-                out = chunk[payload_col].map(lambda p: resizer(p, factor))
+                # NULL payload -> NULL output row (id preserved), same
+                # missing-media contract as extract_features
+                out = chunk[payload_col].map(
+                    lambda p: None if p is None else resizer(p, factor)
+                )
                 yield pd.DataFrame(
                     {
                         "id": chunk[id_col].astype("int64"),
                         "payload": out,
-                        "n_bytes": out.map(len).astype("int32"),
+                        "n_bytes": pd.Series(
+                            [None if p is None else len(p) for p in out],
+                            dtype=object,
+                            index=chunk.index,
+                        ),
                     }
                 )
 
@@ -264,15 +274,27 @@ def extract_features(
             for s in range(0, len(frame), batch_rows):
                 chunk = frame.iloc[s : s + batch_rows]
                 payloads = chunk[payload_col]
+                # NULL payloads degrade to an all-NULL metadata row
+                # (id preserved) instead of a len(None) TypeError that
+                # kills the task — the pipeline stays total over tables
+                # with missing media
                 yield pd.DataFrame(
                     {
                         "id": chunk[id_col].astype("int64"),
-                        "n_bytes": payloads.map(len).astype("int32"),
-                        "magic_hex": payloads.map(
-                            lambda p: p[:2].hex().upper()
+                        "n_bytes": pd.Series(
+                            [None if p is None else len(p) for p in payloads],
+                            dtype=object,
+                            index=chunk.index,
                         ),
-                        "modality": payloads.map(sniff_modality),
-                        "feature": payloads.map(decoder),
+                        "magic_hex": payloads.map(
+                            lambda p: None if p is None else p[:2].hex().upper()
+                        ),
+                        "modality": payloads.map(
+                            lambda p: None if p is None else sniff_modality(p)
+                        ),
+                        "feature": payloads.map(
+                            lambda p: None if p is None else decoder(p)
+                        ),
                     }
                 )
 

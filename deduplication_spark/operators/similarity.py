@@ -88,10 +88,15 @@ def with_cosine_vec(
             den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
             # a zero vector would make 0/0 = NaN — and Spark orders NaN
             # ABOVE every double, so it would rank first and pass >=
-            # filters; fold zero-norm rows into the NULL branch instead
-            nz = den > 0
+            # filters; fold zero-norm rows into the NULL branch instead.
+            # Same for NaN/Inf COMPONENTS (den or num non-finite, or an
+            # inf/inf quotient): any non-finite score must become SQL
+            # NULL, never a NaN that outranks every real neighbor.
+            nz = (den > 0) & np.isfinite(den) & np.isfinite(num)
             cos = np.zeros(len(den))
             cos[nz] = num[nz] / den[nz]
+            nz &= np.isfinite(cos)
+            cos[~nz] = 0.0
             out[ok] = cos
             ok[np.flatnonzero(ok)[~nz]] = False
             if ok.all():  # fast path: no boxing on well-formed batches

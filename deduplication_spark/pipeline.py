@@ -33,17 +33,17 @@ from __future__ import annotations
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import DedupConfig
 from .io import MemoryStore, StageStore
-from .operators.candidates import bucket_pairs, estimate_prefilter, verify_jaccard
+from .operators.candidates import bucket_pairs
 from .operators.components import connected_components
 from .operators.exact import with_content_key
-from .operators.minhash_lsh import band_key_buckets, with_shingles
+from .operators.minhash_lsh import band_key_buckets, minhash_near_edges
 from .operators.simhash import simhash_chunk_buckets, verify_hamming
 from .operators.substring import substring_candidates, verify_substring
 
@@ -99,9 +99,17 @@ def dedup(
     metrics aggregations (~15 driver actions) for throughput runs; the
     result DataFrames are unaffected."""
     cfg = cfg or DedupConfig()
-    store = (
-        StageStore(spark, run_dir, cfg) if run_dir else MemoryStore(spark, cfg)
-    )
+    if run_dir:
+        # the TIER SET shapes every snapshot's content (edge frames,
+        # assignments), so it must be part of the pinned run config: a
+        # resume with different tiers would otherwise silently read
+        # back assignments missing (or crash on) the changed tiers'
+        # contributions. Embedding it in cfg.extra reuses the existing
+        # ConfigMismatch fail-fast (the DDP1-header discipline).
+        pin_cfg = replace(cfg, extra={**cfg.extra, "tiers": list(tiers)})
+        store = StageStore(spark, run_dir, pin_cfg)
+    else:
+        store = MemoryStore(spark, cfg)
     metrics: dict = {"tiers": list(tiers)}
 
     # Explicit repartition before the UDF stages: a parquet scan of one
@@ -124,11 +132,25 @@ def dedup(
             from .functions.hashing import make_enrich_udf
 
             enr = make_enrich_udf(cfg.num_perm, cfg.hash_seed, cfg.shingle_k)
+            mh, sh = F.col("_e.minhash"), F.col("_e.simhash")
+            if cfg.min_doc_tokens > cfg.shingle_k:
+                # the config contract ("shorter docs -> exact tier
+                # only") gates at min_doc_tokens, not just at the
+                # shingle width: the UDF naturally NULLs signatures
+                # below shingle_k tokens (no shingles), but a config
+                # with min_doc_tokens > shingle_k needs this explicit
+                # codegen gate or docs in [shingle_k, min_doc_tokens)
+                # would enter the similarity tiers anyway. Free at the
+                # default config (the branch is not taken).
+                from .functions.text import token_count
+
+                gate = token_count(F.col("text")) >= cfg.min_doc_tokens
+                mh, sh = F.when(gate, mh), F.when(gate, sh)
             e = e.withColumn("_e", enr(F.col("text"))).select(
                 "doc_id",
                 "content_hash",
-                F.col("_e.minhash").alias("minhash"),
-                F.col("_e.simhash").alias("simhash"),
+                mh.alias("minhash"),
+                sh.alias("simhash"),
             )
         return e.drop("text")  # payloads never leave the source table
 
@@ -178,6 +200,12 @@ def dedup(
             w = Window.partitionBy("content_hash")
             return (
                 enriched.select("doc_id", "content_hash")
+                # a NULL hash (text IS NULL) must not elect duplicates:
+                # the window groups NULL keys TOGETHER, so without this
+                # filter every missing-text doc would land in one bogus
+                # "exact duplicate" cluster (and diverge from the
+                # increment path, whose index equi-join drops NULLs)
+                .filter(F.col("content_hash").isNotNull())
                 .withColumn("a", F.min("doc_id").over(w))
                 .filter(F.col("doc_id") != F.col("a"))
                 .select("a", F.col("doc_id").alias("b"))
@@ -221,44 +249,16 @@ def dedup(
         )
 
         def build_minhash() -> DataFrame:
-            # Three confidence bands from the signature estimator —
-            # margins and their sigma analysis documented in
-            # DedupConfig.est_reject_margin / est_accept_margin. Only the
-            # borderline sliver pays the exact shingle-array join.
-            screened = estimate_prefilter(
+            # estimate-screen + borderline exact verification: the ONE
+            # shared decision procedure (minhash_near_edges — also the
+            # increment prober's, so full and incremental runs cannot
+            # desynchronize); margins documented on DedupConfig
+            return minhash_near_edges(
                 mh_pairs,
                 enriched.select("doc_id", "minhash"),
-                min_estimate=max(
-                    0.0, cfg.jaccard_verify_threshold - cfg.est_reject_margin
-                ),
-            ).localCheckpoint(eager=True)
-            hi_conf = min(
-                1.0, cfg.jaccard_verify_threshold + cfg.est_accept_margin
-            )
-            accepted = screened.filter(F.col("estimate") >= hi_conf)
-            borderline = screened.filter(F.col("estimate") < hi_conf)
-            # shingle sets are recomputed for the borderline DOCS only —
-            # storing them for the whole corpus costs ~7 KB/row of
-            # checkpoint + Arrow traffic (rivaling the corpus itself)
-            # to serve this sliver
-            border_ids = (
-                borderline.select(F.col("a").alias("doc_id"))
-                .union(borderline.select(F.col("b").alias("doc_id")))
-                .distinct()
-            )
-            border_shingles = with_shingles(
-                base.join(border_ids, "doc_id"), cfg
-            ).select("doc_id", "shingles")
-            verified = verify_jaccard(
-                borderline.select("a", "b"),
-                border_shingles,
-                threshold=cfg.jaccard_verify_threshold,
-            )
-            return (
-                accepted.select("a", "b")
-                .union(verified.select("a", "b"))
-                .withColumn("tier", F.lit("minhash"))
-            )
+                cfg,
+                texts=base,
+            ).withColumn("tier", F.lit("minhash"))
 
         return _tstage("edges_minhash", build_minhash)
 
@@ -335,7 +335,9 @@ def dedup(
             .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
         )
 
-    assignments = _stage(store, "assignments", build_assignments, metrics)
+    assignments = _stage(
+        store, "assignments", build_assignments, metrics, count=collect_stats
+    )
 
     def build_clusters() -> DataFrame:
         return assignments.groupBy("cluster_id").agg(

@@ -157,20 +157,33 @@ def generate_corpus(
                     break
                 src = int(rng.integers(0, doc_id))
                 src_toks = token_lists[src]
-            cum = np.cumsum([len(t) + 1 for t in src_toks])
-            total = int(cum[-1])
-            # valid starts leave >= span_chars characters after them
-            start_char_budget = total - span_chars
-            max_start = int(np.searchsorted(cum, start_char_budget))
-            start = int(rng.integers(0, max(1, max_start)))
-            end, chars = start, 0
-            while end < len(src_toks) and chars < span_chars:
-                chars += len(src_toks[end]) + 1
-                end += 1
-            span = src_toks[start:end]
-            ins = int(rng.integers(0, len(toks) + 1))
-            toks = toks[:ins] + span + toks[ins:]
-            pair_rows.append((src, doc_id, cls))
+            if sum(len(t) + 1 for t in src_toks) - 1 < 512:
+                # redraws exhausted without a source long enough for
+                # even the MINIMUM catchable span (substring_min_len):
+                # labeling such a pair 'substring' would assert recall
+                # the tier never promised (its contract starts at 512
+                # chars). Degrade the doc to unique — no truth pair.
+                # Never taken at the shipped corpus scales (sources >=
+                # 512 chars always exist); guards tiny/short-token
+                # configurations.
+                cls = CLASS_UNIQUE
+            else:
+                cum = np.cumsum([len(t) + 1 for t in src_toks])
+                total = int(cum[-1])
+                # clamp to what the source can actually supply in full
+                span_chars = min(span_chars, total - 1)
+                # valid starts leave >= span_chars characters after them
+                start_char_budget = total - span_chars
+                max_start = int(np.searchsorted(cum, start_char_budget))
+                start = int(rng.integers(0, max(1, max_start)))
+                end, chars = start, 0
+                while end < len(src_toks) and chars < span_chars:
+                    chars += len(src_toks[end]) + 1
+                    end += 1
+                span = src_toks[start:end]
+                ins = int(rng.integers(0, len(toks) + 1))
+                toks = toks[:ins] + span + toks[ins:]
+                pair_rows.append((src, doc_id, cls))
         else:  # boilerplate skew: shared giant prefix, unique tail
             bp = boilerplates[int(rng.integers(0, 3))]
             toks = bp + fresh(50, 200)

@@ -37,6 +37,21 @@ class ConfigMismatch(RuntimeError):
 
 class StageStore:
     def __init__(self, spark: SparkSession, run_dir: str, cfg: DedupConfig):
+        if "://" in run_dir:
+            # the resume contract (exists()/_SUCCESS) and the config
+            # pin are resolved via the LOCAL filesystem; with an
+            # s3://-style run_dir, os.makedirs would create a stray
+            # local directory literally named "s3:/...", exists() would
+            # always be False (every "resume" silently recomputes all
+            # stages), and a config drift would never raise. Loud beats
+            # silently-broken: a remote deployment backs stages with
+            # Iceberg snapshots (module docstring) or mounts the store.
+            raise ValueError(
+                f"run_dir={run_dir!r}: URI schemes are not supported — "
+                "StageStore resolves resume/config-pinning via the local "
+                "filesystem; use a plain local path or an Iceberg-backed "
+                "deployment"
+            )
         self.spark = spark
         self.run_dir = run_dir
         self.cfg = cfg
@@ -80,8 +95,9 @@ class StageStore:
         O(files) metadata walk Iceberg's manifest write performs."""
         d = self.path(name)
         if not os.path.isdir(d):
-            # remote run_dir (s3://, hdfs://): the parquet-footer walk is
-            # local-FS only; Iceberg manifests would own lineage there
+            # defensive: __init__ rejects URI-scheme run_dirs outright
+            # (resume/config-pin are local-FS only; Iceberg manifests
+            # would own lineage on a remote deployment)
             return
         try:
             import pyarrow.parquet as pq

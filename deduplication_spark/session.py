@@ -56,6 +56,23 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
+    # getOrCreate IGNORES builder configs when a session already exists
+    # in this process — a second get_spark(cores=8) after a
+    # get_spark(cores=32) silently returns the 32-core session, which
+    # would make an in-process parallelism A/B measure the same session
+    # twice. Warn loudly; the scaling protocol uses fresh subprocesses
+    # per level (tools/scaling_bench.py) precisely because of this.
+    live_master = spark.sparkContext.master
+    if live_master != master:
+        import warnings
+
+        warnings.warn(
+            f"get_spark(master={master!r}) returned an EXISTING session "
+            f"with master={live_master!r} — builder configs were "
+            "ignored (getOrCreate is first-call-wins per process); use "
+            "a fresh process for a different parallelism level",
+            stacklevel=2,
+        )
     _ship_package(spark)
     return spark
 
@@ -82,5 +99,17 @@ def _ship_package(spark: SparkSession) -> None:
                         z.write(full, rel)
     try:
         spark.sparkContext.addPyFile(zpath)
-    except Exception:
-        pass  # already added to this context
+    except Exception as e:  # noqa: BLE001
+        # the only EXPECTED failure is re-adding the same path to a
+        # live context (idempotent no-op). Anything else (zip reaped
+        # from tmp, partial write from a crashed earlier run) would
+        # otherwise surface much later as an opaque unpickling error
+        # inside a worker-side pandas UDF — make it visible now.
+        if "same path" not in str(e) and "already" not in str(e).lower():
+            import warnings
+
+            warnings.warn(
+                f"addPyFile({zpath}) failed: {e!r} — executors may not "
+                "receive the package; pandas UDFs can fail to unpickle",
+                stacklevel=2,
+            )

@@ -62,9 +62,33 @@ INDEX_SCHEMA = (
 )
 
 
-def empty_index(spark: SparkSession) -> DataFrame:
-    """A zero-row member index (cold start: no base corpus)."""
-    return spark.createDataFrame([], INDEX_SCHEMA)
+def empty_index(
+    spark: SparkSession, cfg: DedupConfig | None = None
+) -> DataFrame:
+    """A zero-row member index (cold start: no base corpus).
+
+    Pass `cfg` to pin the signature config on the minhash column
+    (exactly like increment.index_from_enriched) — then a restart that
+    probes persisted index versions with a DRIFTED config (hash_seed /
+    shingle_k / band layout) fails fast with ConfigMismatch instead of
+    silently collapsing LSH recall to exact-only."""
+    df = spark.createDataFrame([], INDEX_SCHEMA)
+    return _pin_sig(df, cfg) if cfg is not None else df
+
+
+def _pin_sig(index: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Attach the signature-config fingerprint as minhash column
+    metadata (survives parquet round trips — the check lives in
+    dedup_increment, increment.py)."""
+    from ..increment import _sig_fingerprint
+
+    cols = [
+        F.col(c).alias("minhash", metadata={"sig_cfg": _sig_fingerprint(cfg)})
+        if c == "minhash"
+        else F.col(c)
+        for c in index.columns
+    ]
+    return index.select(*cols)
 
 
 @dataclass
@@ -155,7 +179,33 @@ def stream_dedup_increment(
             initial = _version_path(index_dir, -1)
             had_initial = os.path.exists(os.path.join(initial, "_SUCCESS"))
             if not had_initial:
-                state.index.write.mode("overwrite").parquet(initial)
+                if (
+                    os.path.isdir(initial)
+                    and state.index.limit(1).count() == 0
+                ):
+                    # a batch=-1 DIRECTORY without _SUCCESS means a
+                    # prior run crashed mid-write of its initial index,
+                    # and the restart came up COLD (empty state). That
+                    # partial initial may have been a WARM-start index —
+                    # overwriting it with the empty one would
+                    # permanently classify every duplicate of the warm
+                    # base as unique, silently. A warm restart (non-
+                    # empty state.index) legitimately rewrites the
+                    # partial dir; a cold one must decide explicitly.
+                    raise RuntimeError(
+                        f"partial initial index at {initial} (no "
+                        "_SUCCESS — a previous run crashed before "
+                        "committing it) and this restart's state is "
+                        "EMPTY. Re-supply the original warm index in "
+                        "StreamIncrementState, or delete the partial "
+                        "directory for a genuine cold start."
+                    )
+                # pin the signature config on the persisted version so a
+                # restart with a drifted config fails fast (the
+                # increment's ConfigMismatch guard reads this metadata)
+                _pin_sig(state.index, cfg).write.mode("overwrite").parquet(
+                    initial
+                )
             if want == -1 and had_initial:
                 # restart of batch 0: the PERSISTED initial version is
                 # the source of truth — a cold StreamIncrementState
@@ -224,7 +274,9 @@ def stream_dedup_increment(
                 os.path.join(merges_dir, f"batch={batch_id}")
             )
         if index_dir is not None:
-            inc.index.write.mode("overwrite").parquet(
+            # every persisted version carries the sig-config pin, even
+            # when the run started from an unpinned in-memory index
+            _pin_sig(inc.index, cfg).write.mode("overwrite").parquet(
                 _version_path(index_dir, batch_id)
             )
             # read back: the persisted version is the lineage cut

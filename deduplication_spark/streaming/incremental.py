@@ -47,7 +47,6 @@ def stream_exact_dedup(
 def stream_dedup_flags(
     stream: DataFrame,
     id_col: str = "doc_id",
-    ts_col: str = "warc_ts",
     text_col: str = "text",
     state_timeout_ms: int | None = 3_600_000,
 ) -> DataFrame:
@@ -55,7 +54,11 @@ def stream_dedup_flags(
 
     Output: (doc_id, content_hash, is_duplicate, canonical_doc_id).
     State per content_hash: the first-seen doc_id (the dictionary entry,
-    /root/reference/src/dictionary.c:61-78).
+    /root/reference/src/dictionary.c:61-78). State is bounded by the
+    PROCESSING-time timeout below — this mode has no event-time
+    semantics (use `stream_exact_dedup` for watermarked dedup; a
+    previous `ts_col` parameter here was accepted but never applied,
+    which read as a promise of event-time bounding it did not keep).
 
     `state_timeout_ms=None` disables the processing-time state timeout.
     Use None for bounded runs under trigger(availableNow): with
@@ -66,7 +69,15 @@ def stream_dedup_flags(
     """
     import pandas as pd
 
-    hashed = stream.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    # ONLY (id, hash) enter the stateful shuffle: the output schema
+    # needs nothing else, and keeping all upstream columns would ship
+    # full documents (text/binary payloads) through Arrow and buffer an
+    # entire hash group's rows in one pandas frame — a viral boilerplate
+    # content with millions of copies in a microbatch would OOM the
+    # executor for data the function never reads
+    hashed = stream.withColumn(
+        "content_hash", F.sha2(F.col(text_col), 256)
+    ).select(id_col, "content_hash")
 
     def dedup_group(key, frames, state: GroupState):
         (content_hash,) = key

@@ -270,3 +270,35 @@ def test_cross_batch_exact_dup_probes_first_batch(spark, docs, streamed):
         r["doc_id"]: r["cluster_id"] for r in assignments.collect()
     }
     assert amap[pair["x"]] == amap[pair["y"]]
+
+
+def test_persisted_index_versions_pin_signature_config(spark, tmp_path):
+    """Round-4 review finding: a restart probing persisted index
+    versions with a DRIFTED signature config (hash_seed / shingle_k /
+    bands) must fail fast — without the pin, band keys never collide
+    and LSH recall silently collapses to exact-only."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from deduplication_spark.config import DedupConfig
+    from deduplication_spark.increment import dedup_increment
+    from deduplication_spark.io import ConfigMismatch
+
+    cfg = DedupConfig()
+    p = str(tmp_path / "idx")
+    # what stream_dedup_increment persists: a pinned version
+    from deduplication_spark.streaming.increment_stream import _pin_sig
+
+    _pin_sig(empty_index(spark), cfg).write.parquet(p)
+    restored = spark.read.parquet(p)
+    assert restored.schema["minhash"].metadata.get("sig_cfg")
+
+    batch = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["restart batch doc"]})
+    )
+    drifted = DedupConfig(hash_seed=0xBAD5EED)
+    with _pytest.raises(ConfigMismatch, match="signature config"):
+        dedup_increment(spark, batch, restored, drifted)
+    # the matching config probes fine
+    res = dedup_increment(spark, batch, restored, cfg)
+    assert res.assignments.count() == 1

@@ -14,6 +14,7 @@ from deduplication_spark.operators.minhash_lsh import (
     band_key_buckets,
     lsh_candidates,
     minhash_edges,
+    minhash_near_edges,
     with_minhash,
     with_shingles,
 )
@@ -39,6 +40,7 @@ __all__ = [
     "lsh_candidates",
     "lsh_topk",
     "minhash_edges",
+    "minhash_near_edges",
     "simhash_edges",
     "substring_edges",
     "verify_jaccard",

@@ -73,7 +73,12 @@ class IncrementResult:
     assignments: DataFrame  # new batch: (doc_id, cluster_id, is_canonical)
     merges: DataFrame       # (old_cluster_id, merged_into) — base clusters
                             # bridged by a new doc; empty most increments
-    index: DataFrame        # updated member-level index incl. the new batch
+    index: DataFrame        # updated member-level index incl. the new batch.
+                            # LAZY: when threading it through a LONG chain of
+                            # increments, cut lineage every batch (write+read
+                            # parquet — what streaming/increment_stream.py
+                            # does — or localCheckpoint), else the logical
+                            # plan deepens per batch (join + union each)
     metrics: dict = field(default_factory=dict)
 
 

@@ -302,3 +302,39 @@ def test_persisted_index_versions_pin_signature_config(spark, tmp_path):
     # the matching config probes fine
     res = dedup_increment(spark, batch, restored, cfg)
     assert res.assignments.count() == 1
+
+
+def test_partial_initial_index_refuses_cold_overwrite(
+    spark, docs, src_dir, tmp_path
+):
+    """Round-4 review finding: a batch=-1 directory WITHOUT _SUCCESS
+    (prior run crashed mid-write of its initial index) must not be
+    silently overwritten by a COLD restart — the partial initial may
+    have been a warm-start index whose loss would permanently classify
+    every duplicate of the warm base as unique."""
+    out = tmp_path
+    idx_dir = out / "index"
+    partial = idx_dir / "batch=-1"
+    partial.mkdir(parents=True)
+    (partial / "part-00000.parquet").write_bytes(b"partial write, no commit")
+
+    state = StreamIncrementState(index=empty_index(spark))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_dedup_increment(
+        stream,
+        state,
+        assignments_dir=str(out / "assignments"),
+        index_dir=str(idx_dir),
+        cfg=DedupConfig(),
+        checkpoint_dir=str(out / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="partial initial index"):
+        q.awaitTermination(120)
+        raise RuntimeError("query should have failed")  # pragma: no cover

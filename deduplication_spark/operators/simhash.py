@@ -81,8 +81,12 @@ def simhash_edges(
     """End-to-end tier from a docs frame that already has `shingles`.
 
     Returns (verified edges (a, b, hamming), candidate metrics).
-    """
-    enriched = with_simhash(docs_with_shingles)
+
+    `enriched` is persisted: it feeds the bucket path and BOTH sides of
+    the Hamming join, so without the cache the SimHash UDF (and any
+    upstream shingle UDF in the input plan) would evaluate up to 3x per
+    action — same fix as minhash_edges."""
+    enriched = with_simhash(docs_with_shingles).persist()
     buckets = simhash_chunk_buckets(enriched, cfg, id_col)
     cand = bucket_pairs(
         buckets, ["chunk_idx", "chunk_val"], id_col=id_col, cap=cfg.bucket_pair_cap

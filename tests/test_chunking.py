@@ -27,9 +27,11 @@ def test_chunks_cover_input_and_respect_bounds():
         assert start == pos
         pos += length
         assert length <= MAX
-    # all non-final chunks respect the forced-cut bound; min bound can be
-    # violated only at forced boundaries (documented)
-    assert max(c[1] for c in chunks) <= MAX
+    # MIN bound: anchors are only accepted >= MIN from the previous cut
+    # and forced cuts are exactly MAX, so every chunk except the FINAL
+    # one (the doc tail, the one documented forced boundary that may
+    # fall short) must be >= MIN
+    assert all(length >= MIN for _s, length, _f in chunks[:-1])
 
 
 def test_chunks_deterministic():

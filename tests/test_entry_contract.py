@@ -54,15 +54,19 @@ def test_rows_only_set_is_exactly_the_allowlist():
 
 
 def test_every_oracle_references_a_registered_table():
+    import re
+
     for name, sql in entry.oracle_sql().items():
         low = sql.lower()
         assert "select" in low, name
         # constant-expectation oracles (VALUES lists pinning an exact
         # invariant, e.g. pipeline_resume's per-stage statuses) are the
-        # one sanctioned tableless form
-        assert any(t in low for t in TABLES) or "(values" in low, (
-            f"{name}: no known table in SQL"
-        )
+        # one sanctioned tableless form. Word-boundary match: a raw
+        # substring check would let 'partition'/'regional' satisfy the
+        # 'part'/'region' table names.
+        assert any(
+            re.search(rf"\b{t}\b", low) for t in TABLES
+        ) or "(values" in low, f"{name}: no known table in SQL"
 
 
 def test_truth_sql_is_rendered_from_config():

@@ -44,8 +44,14 @@ def src_dir(docs, tmp_path_factory):
         import shutil
 
         [f] = glob.glob(os.path.join(d, f"tmp_b{i}", "part-*.parquet"))
-        shutil.move(f, os.path.join(d, f"batch_{i}.parquet"))
+        dest = os.path.join(d, f"batch_{i}.parquet")
+        shutil.move(f, dest)
         shutil.rmtree(os.path.join(d, f"tmp_b{i}"))
+        # Spark's file stream orders by MODIFICATION TIME, not name;
+        # moves preserve the tmp part files' mtimes, which on a coarse-
+        # granularity filesystem can tie or invert — pin explicit
+        # strictly-increasing mtimes so the batch order is deliberate
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
     return d
 
 
@@ -68,7 +74,7 @@ def streamed(spark, docs, src_dir, tmp_path_factory):
         checkpoint_dir=str(out / "ckpt"),
         trigger={"availableNow": True},
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in time"
     return state, str(out)
 
 
@@ -142,17 +148,24 @@ def test_replay_is_idempotent(spark, docs, streamed):
     batch1 = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
     idx0 = spark.read.parquet(os.path.join(out, "index", "batch=0"))
     inc = dedup_increment(spark, batch1, idx0, DedupConfig())
-    inc.assignments.write.mode("overwrite").parquet(
-        os.path.join(out, "assignments", "batch=1")
+    # compare the recompute against the PERSISTED batch=1 without
+    # mutating the module fixture's output dir (an overwrite here would
+    # poison the data later tests re-read if the recompute ever
+    # diverged — two misleading failures for one defect)
+    replayed = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in inc.assignments.collect()
     )
-    # the overwrite replaced part files under paths other live
-    # DataFrames (the module fixture) have already listed
-    spark.catalog.refreshByPath(os.path.join(out, "assignments"))
-    after = sorted(
+    persisted = sorted(
         (r["doc_id"], r["cluster_id"])
-        for r in spark.read.parquet(os.path.join(out, "assignments")).collect()
+        for r in spark.read.parquet(
+            os.path.join(out, "assignments", "batch=1")
+        ).collect()
     )
-    assert after == before
+    assert replayed == persisted
+    # and the full table is exactly {other batches} ∪ {batch 1}
+    assert sorted(set(before)) == sorted(
+        set(before) - set(persisted) | set(replayed)
+    )
 
 
 def test_replay_without_index_dir_fails_fast(spark, docs):
@@ -237,7 +250,7 @@ def test_resolved_assignments_applies_merges(spark):
         checkpoint_dir=os.path.join(work, "ckpt"),
         trigger={"availableNow": True},
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
     res = {
         r["doc_id"]: (r["cluster_id"], r["is_canonical"])
         for r in resolved_assignments(

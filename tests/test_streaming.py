@@ -33,7 +33,7 @@ def _run_stream(spark, df, out_dir: str) -> pd.DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     return spark.read.parquet(out_dir).toPandas()
 
 

@@ -111,6 +111,10 @@ def main() -> None:
                     if p in brute and abs(lsh[p] - brute[p]) > 2e-4
                 ]
                 assert not wrong, f"LSH mis-scored: {wrong[:5]}"
+                # recall counts TRUE pairs found — lsh may legitimately
+                # hold boundary pairs absent from brute (the tolerance
+                # above), which must not inflate recall past 1.0
+                found = sum(1 for p in lsh if p in brute)
                 results.append(
                     {
                         "threshold": threshold,
@@ -118,8 +122,8 @@ def main() -> None:
                         "n_tables": n_tables,
                         "n_bits": n_bits,
                         "true_pairs": len(brute),
-                        "found": len(lsh),
-                        "recall": round(len(lsh) / len(brute), 4)
+                        "found": found,
+                        "recall": round(found / len(brute), 4)
                         if brute
                         else None,
                     }

@@ -54,9 +54,16 @@ def main() -> int:
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            esc = p.replace("'", "''")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{esc}'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    # a typo'd name on the command line must not green the gate having
+    # checked ZERO queries
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

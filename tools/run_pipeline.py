@@ -43,8 +43,20 @@ def main() -> None:
     from deduplication_spark.pipeline import dedup
 
     active = SparkSession.getActiveSession()
-    if active is not None:  # spark-submit created the session/context
+    if active is not None:
         spark = active
+    elif "PYSPARK_GATEWAY_PORT" in os.environ:
+        # under spark-submit, Python apps get NO pre-created session
+        # (getActiveSession is None) but the JVM gateway already runs
+        # with spark.master from the submit command (the env var is how
+        # the driver python finds it) — building with .master() here
+        # would silently override a cluster --master with local[*].
+        # Create the session from the submitted conf, then ship the
+        # package.
+        spark = SparkSession.builder.getOrCreate()
+        from deduplication_spark.session import _ship_package
+
+        _ship_package(spark)
     else:
         from deduplication_spark.session import get_spark
 

@@ -114,7 +114,12 @@ def main() -> None:
     # same input, same config -> identical logical output expected
     assert results[n_lvl]["n_clusters"] == results[n4_lvl]["n_clusters"], "output mismatch"
 
-    eff = (results[n4_lvl]["docs_per_sec"] / results[n_lvl]["docs_per_sec"]) / 4
+    # divide by the ACTUAL level ratio (SCALING_LEVELS is configurable;
+    # a hardcoded 4 mis-scores any non-4x pairing)
+    ratio = n4_lvl / n_lvl
+    eff = (
+        results[n4_lvl]["docs_per_sec"] / results[n_lvl]["docs_per_sec"]
+    ) / ratio
     summary = {
         "n_docs": n_docs,
         "levels": list(levels),

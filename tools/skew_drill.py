@@ -108,8 +108,17 @@ def candidate_metrics(spark, skew_path: str, cfg: DedupConfig) -> tuple[dict, in
     members = band_key_buckets(
         with_minhash(with_shingles(docs, cfg), cfg), cfg
     )
-    cand = bucket_pairs(members, ["band_key"], cap=cfg.bucket_pair_cap)
-    return cand.metrics.collect()[0].asDict(), cand.pairs.count()
+    # reuse_input: metrics AND pairs are both acted on below — without
+    # the shared persist the shingle/minhash UDF pass over the whole
+    # corpus would execute twice
+    cand = bucket_pairs(
+        members, ["band_key"], cap=cfg.bucket_pair_cap, reuse_input=True
+    )
+    m = cand.metrics.collect()[0].asDict()
+    n = cand.pairs.count()
+    if cand.shared is not None:
+        cand.shared.unpersist()
+    return m, n
 
 
 def swarm_cluster_count(spark, skew_path: str, n_docs: int, n_swarm: int) -> int:
@@ -158,14 +167,21 @@ def write_report(state: dict) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("n_docs", nargs="?", type=int, default=240_000)
+    ap.add_argument("n_docs", nargs="?", type=int, default=None)
     ap.add_argument("--stage", choices=["corpus", "uniform", "skewed", "finish"])
     ap.add_argument("--dir", dest="state_dir")
     args = ap.parse_args()
     cfg = DedupConfig()
 
     if args.stage is None:
-        # one-shot mode (small n)
+        # one-shot mode (small n): require EXPLICIT n_docs — a bare
+        # invocation defaulting to 240k would run the full multi-pass
+        # protocol the docstring says must be staged
+        if args.n_docs is None:
+            raise SystemExit(
+                "one-shot mode needs an explicit n_docs (e.g. 24000); "
+                "240k-scale runs use --stage (see module docstring)"
+            )
         repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
         spark = _spark()
         with tempfile.TemporaryDirectory() as d:
@@ -217,10 +233,11 @@ def main() -> None:
         )
 
     if args.stage == "corpus":
-        make_corpus(args.n_docs, skewed=False, out_dir=sd)
-        _, n_swarm = make_corpus(args.n_docs, skewed=True, out_dir=sd)
+        n_docs = args.n_docs if args.n_docs is not None else 240_000
+        make_corpus(n_docs, skewed=False, out_dir=sd)
+        _, n_swarm = make_corpus(n_docs, skewed=True, out_dir=sd)
         state = {
-            "n_docs": args.n_docs,
+            "n_docs": n_docs,
             "swarm_size": n_swarm,
             "uniform_runs": [],
             "skewed_runs": [],

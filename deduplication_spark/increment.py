@@ -166,6 +166,7 @@ def dedup_increment(
     base_docs: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    collect_stats: bool = False,
 ) -> IncrementResult:
     """Dedup `new_docs` against `index` (and within themselves).
 
@@ -177,6 +178,12 @@ def dedup_increment(
     within ~sigma (0.035 at 128 perms) of the threshold may flip vs a
     full run. Documented trade for running increments without
     base-corpus access.
+
+    `collect_stats=True` additionally records the LSH candidate
+    accounting (touched buckets, capped buckets, dropped pairs) in
+    `metrics["lsh_candidates"]` — the honest-skew observability the
+    full pipeline reports per run, at the cost of one extra aggregation
+    job per increment (off by default for throughput streams).
     """
     cfg = cfg or DedupConfig()
     metrics: dict = {}
@@ -316,7 +323,10 @@ def dedup_increment(
         .select("doc_id", "band_key")
     )
     cand = bucket_pairs(
-        idx_members.union(new_members), ["band_key"], cap=cfg.bucket_pair_cap
+        idx_members.union(new_members),
+        ["band_key"],
+        cap=cfg.bucket_pair_cap,
+        reuse_input=collect_stats,
     )
     lsh_pairs = cand.pairs.filter(F.col("b") >= lo)
 
@@ -334,6 +344,14 @@ def dedup_increment(
     # see minhash_near_edges); texts=None decides borderline pairs by
     # the estimate at the threshold (documented trade in the docstring)
     near = minhash_near_edges(lsh_pairs, sigs, cfg, texts=texts)
+    if collect_stats:
+        # AFTER minhash_near_edges: its eager localCheckpoint has
+        # already consumed the pairs from the shared membership cache,
+        # so collecting the metrics aggregation and releasing the cache
+        # here costs one extra job and no recompute
+        metrics["lsh_candidates"] = cand.metrics.collect()[0].asDict()
+        if cand.shared is not None:
+            cand.shared.unpersist()
 
     # near edges touch old MEMBERS; lift them to their cluster id so the
     # component election lands on the stable existing id

@@ -341,3 +341,31 @@ def test_merge_chain_spans_batches(spark):
     # the threaded index agrees: every member of the chain in cluster 1
     idx = {r["member_id"]: r["cluster_id"] for r in inc3.index.collect()}
     assert idx == {1: 1, 2: 1, 3: 1, 10: 1, 20: 20, 30: 1}
+
+
+def test_increment_collect_stats_reports_candidate_accounting(
+    spark, split, inc_run
+):
+    """collect_stats=True surfaces the LSH candidate metrics (touched
+    buckets / capped buckets / dropped pairs) per increment — the same
+    honest-skew accounting the full pipeline reports."""
+    base_df, new_df = split
+    base_res, _ = inc_run
+    cfg = DedupConfig()
+    index = index_from_enriched(base_res.enriched, base_res.assignments, cfg=cfg)
+    inc = dedup_increment(
+        spark, new_df, index, cfg, base_docs=base_df, collect_stats=True
+    )
+    m = inc.metrics["lsh_candidates"]
+    assert set(m) == {
+        "n_buckets",
+        "n_capped_buckets",
+        "n_candidate_edges",
+        "dropped_pairs",
+    }
+    assert m["n_buckets"] > 0 and m["dropped_pairs"] >= 0
+    # stats collection must not change the result
+    plain = dedup_increment(spark, new_df, index, cfg, base_docs=base_df)
+    a = sorted(map(tuple, inc.assignments.collect()))
+    b = sorted(map(tuple, plain.assignments.collect()))
+    assert a == b

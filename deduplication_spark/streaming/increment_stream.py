@@ -139,6 +139,7 @@ def stream_dedup_increment(
     trigger: dict | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    collect_stats: bool = False,
 ) -> StreamingQuery:
     """Start the streaming prober. Returns the StreamingQuery.
 
@@ -260,6 +261,9 @@ def stream_dedup_increment(
             base_docs=base_docs,
             id_col=id_col,
             text_col=text_col,
+            # per-batch candidate accounting (dropped pairs etc.) lands
+            # in state.batch_metrics[batch_id]["lsh_candidates"]
+            collect_stats=collect_stats,
         )
         if docs_dir is not None:
             batch_df.select(id_col, text_col).write.mode("overwrite").parquet(

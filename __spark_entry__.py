@@ -4,9 +4,10 @@
 `documents` table. `queries()` exposes one entry per implemented
 operator from SURVEY.md §2 (+ the training-data-pipeline extras);
 `oracle_sql()` gives the DuckDB-runnable ANSI equivalent for every
-SQL-expressible one. Hash-dependent / iterative operators (MinHash
-signatures, LSH candidates, connected components, CDC chunking, ANN
-buckets) are rows-only by design — the driver records the weaker check.
+SQL-expressible one. Hash-dependent surfaces are projected to
+derived-invariant columns an oracle CAN pin (signature/banding/chunk
+shape, ANN result shape); only the seeded multimodal feature digest
+remains rows-only — its values are pytest-verified instead.
 
 Column names and value rounding are aligned on both sides so the
 driver's order-insensitive value-hash comparison is exact.
@@ -1022,17 +1023,24 @@ def q_near_dup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signature surface projected to stable scalars (the driver's
-    canonicalizer sorts every column, so raw array<bigint> output is
-    un-comparable): n_shingles + a 64-bit digest of the full signature.
-    Rows-only (the digest is hash-seeded, not SQL-expressible)."""
+    """U2 surface, graduated from rows-only to a derived-invariant
+    oracle (round-4 verdict #1a, same pattern as simhash_fingerprints):
+    the signature VALUES are hash-seeded, but the signature SHAPE is
+    exactly pinned by the config — a doc has a signature iff it yields
+    >= 1 shingle (>= shingle_k whitespace tokens, DuckDB-recomputable),
+    and every present signature has exactly cfg.num_perm components.
+    n_shingles doubles as a full-value check (same expression as the
+    `shingle_hashes` oracle). Raw signature bytes stay pytest-pinned
+    (tests/test_functions.py: determinism + Jaccard-estimator accuracy
+    vs exact Jaccard)."""
     d = with_minhash(with_shingles(_docs(spark, sf_dir), CFG), CFG)
     return d.select(
         "doc_id",
         F.size("shingles").alias("n_shingles"),
-        F.xxhash64(
-            F.concat_ws(",", F.transform("minhash", lambda x: x.cast("string")))
-        ).alias("sig_hash"),
+        # size(NULL) = NULL (non-legacy): 0-iff-short, else num_perm
+        # (coalesced to 0 so the column is never NULL — a nullable int
+        # turns float64 in pandas and breaks the dtype-sensitive hash)
+        F.coalesce(F.size("minhash"), F.lit(0)).alias("n_perm"),
     )
 
 
@@ -1062,7 +1070,38 @@ def q_lsh_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return chunk_buckets(_docs(spark, sf_dir), CFG)
+    """U5 chunker surface, graduated from rows-only to a derived-
+    invariant oracle (round-4 verdict #1b): chunk FINGERPRINTS are
+    hash-seeded, but the chunking geometry is exactly pinned by the
+    config — chunk lengths sum to the doc's utf-8 byte length (every
+    byte in exactly one chunk; DuckDB recomputes octet_length), every
+    chunk is <= chunk_max_len, every chunk except the final one is
+    >= chunk_min_len, and those bounds bracket the chunk count into
+    [ceil(bytes/max_len), floor((bytes-1)/min_len)+1]. The booleans
+    are computed from the REAL chunk array on the Spark side and
+    pinned TRUE by the oracle. Raw fingerprints stay pytest-verified
+    (tests/test_chunking.py: offset independence, boundary sync,
+    byte coverage)."""
+    udf = make_chunk_udf(CFG)
+    chunks = F.coalesce(udf(F.col("text")), F.array().cast(_CHUNK_T))
+    lens = F.transform(chunks, lambda c: c["len"].cast("long"))
+    n = F.size(lens)
+    sum_len = F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x)
+    head = F.when(n <= 1, F.array().cast("array<long>")).otherwise(
+        F.slice(lens, 1, n - 1)
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        sum_len.alias("covered_bytes"),
+        F.forall(lens, lambda x: x <= CFG.chunk_max_len).alias("max_len_ok"),
+        F.forall(head, lambda x: x >= CFG.chunk_min_len).alias(
+            "head_min_len_ok"
+        ),
+        (
+            (n >= F.ceil(sum_len / CFG.chunk_max_len))
+            & (n <= F.floor((sum_len - 1) / CFG.chunk_min_len) + 1)
+        ).alias("n_chunks_bounded"),
+    )
 
 
 def q_cdc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1095,15 +1134,56 @@ def q_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: random-hyperplane LSH bucket join (no cross join).
-    Approximate by construction — rows-only check."""
+    """Scale-path ANN (random-hyperplane LSH bucket join, no cross
+    join), graduated from rows-only to a derived-invariant oracle
+    (round-4 verdict #1c): WHICH neighbors surface is approximate by
+    construction (recall curve committed in BENCH/ann_recall.json; 1.0
+    at cos >= 0.90 for the default config), but the result SHAPE is
+    exact — per query: at most k neighbors, ranks contiguous from 1,
+    rank order agrees with score order, scores in [-1, 1]. One row per
+    query (left join: a bucket-starved query with zero neighbors still
+    emits its row, vacuously true), booleans computed from the REAL
+    top-k frame Spark-side and pinned TRUE by the oracle."""
     from deduplication_spark.operators.similarity import lsh_topk
 
     e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10)
     # dim is inferred inside the bucketing UDF (seeded planes drawn at
     # the observed width) — no driver-side .first() sniff
-    return lsh_topk(
-        e, e.filter(F.col("vec_id") < 10), k=5, n_tables=8, n_bits=8
+    res = lsh_topk(e, q, k=5, n_tables=8, n_bits=8)
+    per_q = res.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("rank").alias("_rmin"),
+        F.max("rank").alias("_rmax"),
+        F.countDistinct("rank").alias("_rdist"),
+        F.min("cos_sim").alias("_cmin"),
+        F.max("cos_sim").alias("_cmax"),
+        F.min_by("cos_sim", "rank").alias("_c_first"),
+        F.max_by("cos_sim", "rank").alias("_c_last"),
+    )
+    n = F.coalesce(F.col("_n"), F.lit(0))
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            (n <= 5).alias("n_le_k"),
+            (
+                (n == 0)
+                | (
+                    (F.col("_rmin") == 1)
+                    & (F.col("_rmax") == n)
+                    & (F.col("_rdist") == n)
+                )
+            ).alias("ranks_contiguous"),
+            (
+                (n == 0)
+                | ((F.col("_cmin") >= -1.0) & (F.col("_cmax") <= 1.0))
+            ).alias("cos_in_range"),
+            ((n == 0) | (F.col("_c_first") >= F.col("_c_last"))).alias(
+                "rank_order_ok"
+            ),
+        )
     )
 
 
@@ -1181,6 +1261,50 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _edge_corpus_rows() -> list[tuple[int, str | None]]:
+    """Deterministic adversarial corpus (round-4 verdict #3): NULL
+    texts, empty strings, single-token docs, a near-dup pair, a
+    long-shared-span pair, one multi-megabyte doc, whitespace-only.
+    Expected clustering is derivable by hand (see q_edge_corpus)."""
+    w_a = " ".join(f"w{i}" for i in range(100))
+    # last token changed: 95 of 96 shingles shared -> jaccard 95/97
+    w_b = " ".join(f"w{i}" for i in range(99)) + " zz"
+    body = " ".join(f"s{i % 97}x{i}" for i in range(4000))  # ~25 KB
+    big = " ".join(f"b{i}" for i in range(300_000))  # ~2.3 MB
+    return [
+        (1, None),  # NULL text: singleton (must NOT cluster with 2)
+        (2, None),
+        (3, ""),  # empty string: exact pair with 4
+        (4, ""),
+        (5, "one"),  # 1 token < min_doc_tokens: exact tier only
+        (6, "one"),
+        (7, w_a),  # near-dup pair, jaccard ~0.979 >= 0.8
+        (8, w_b),
+        (9, " ".join(f"u{i}" for i in range(100))),  # unrelated long doc
+        (10, body),  # 25 KB shared span + jaccard ~0.999
+        (11, "prefix junk tokens " + body),
+        (12, big),  # one multi-MB doc: Arrow batch / UDF robustness
+        (13, " \t\n "),  # whitespace-only: 0 shingles, unique hash
+    ]
+
+
+def q_edge_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial-input robustness through the FULL tiered pipeline
+    (round-4 verdict #3): the degradation contract — NULL-text docs are
+    singletons (never clustered together), empty/short docs route to
+    the exact tier only, similarity tiers still cluster the near-dup
+    and shared-span pairs, and a multi-MB doc flows through every
+    Arrow-batched UDF without splitting or crashing. The oracle is a
+    VALUES list pinning the exact expected partition (derived by hand
+    from the corpus construction, not from the pipeline). `sf_dir` is
+    unused by design — the corpus is built in-session. The sibling
+    contract (duplicate doc_ids fail loudly) is pytest-covered
+    (tests/test_edge_contracts.py) because a loud failure cannot be a
+    green query."""
+    docs = spark.createDataFrame(_edge_corpus_rows(), "doc_id long, text string")
+    return dedup(spark, docs, CFG).assignments
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # SQL-oracled
@@ -1224,13 +1348,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_resume": q_pipeline_resume,
         "simhash_fingerprints": q_simhash_fingerprints,
         "lsh_band_buckets": q_lsh_band_buckets,
-        # rows-only
         "near_dup_assignments": q_near_dup_assignments,
         "minhash_signatures": q_minhash_signatures,
         "cdc_chunks": q_cdc_chunks,
         "embedding_ann_lsh": q_embedding_ann_lsh,
-        "multimodal_features": q_multimodal_features,
         "incremental_assignments": q_incremental_assignments,
+        "edge_corpus": q_edge_corpus,
+        # rows-only (hash-seeded end to end; pytest-verified instead)
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1490,6 +1615,51 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split_regex(trim(lower(text)), '\\s+'))
                      >= {CFG.shingle_k} AS has_fp
             FROM documents
+        """,
+        "minhash_signatures": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN len(t) < {CFG.shingle_k} THEN 0
+                        ELSE len(list_distinct(list_transform(
+                          generate_series(1, len(t) - {CFG.shingle_k - 1}),
+                          i -> array_to_string(t[i:i+{CFG.shingle_k - 1}], ' '))))
+                   END AS n_shingles,
+                   CAST(CASE WHEN len(t) >= {CFG.shingle_k}
+                        THEN {CFG.num_perm} ELSE 0 END AS INT) AS n_perm
+            FROM toks
+        """,
+        "cdc_chunks": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS covered_bytes,
+                   TRUE AS max_len_ok,
+                   TRUE AS head_min_len_ok,
+                   TRUE AS n_chunks_bounded
+            FROM documents
+        """,
+        "embedding_ann_lsh": """
+            SELECT vec_id AS query_id,
+                   TRUE AS n_le_k,
+                   TRUE AS ranks_contiguous,
+                   TRUE AS cos_in_range,
+                   TRUE AS rank_order_ok
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "edge_corpus": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id,
+                   is_canonical
+            FROM (VALUES
+              (1, 1, TRUE), (2, 2, TRUE),
+              (3, 3, TRUE), (4, 3, FALSE),
+              (5, 5, TRUE), (6, 5, FALSE),
+              (7, 7, TRUE), (8, 7, FALSE),
+              (9, 9, TRUE),
+              (10, 10, TRUE), (11, 10, FALSE),
+              (12, 12, TRUE), (13, 13, TRUE)
+            ) AS t(doc_id, cluster_id, is_canonical)
         """,
         "lsh_band_buckets": f"""
             SELECT doc_id,

@@ -299,6 +299,23 @@ def dedup(
             store, "enriched", build_enriched, metrics, count=collect_stats
         )
 
+        # ID-uniqueness contract (loud, round-4 verdict #3): duplicate
+        # doc_ids would silently corrupt min-id election and gather
+        # joins (two rows claim the same identity). One tiny id-only
+        # aggregation over the already-materialized enriched snapshot;
+        # throughput runs (collect_stats=False) skip it — documented
+        # precondition there.
+        if collect_stats:
+            c = enriched.agg(
+                (F.count(F.lit(1)) - F.count_distinct(F.col("doc_id"))).alias("d")
+            ).first()["d"]
+            if c:
+                raise ValueError(
+                    f"{c} duplicate doc_id value(s) in the input corpus; "
+                    "doc_id must be unique (cluster ids ARE doc ids — a "
+                    "duplicated id merges unrelated rows silently)"
+                )
+
         sig_runners = {
             "exact": run_exact, "minhash": run_minhash, "simhash": run_simhash
         }

@@ -105,6 +105,37 @@ def test_min_doc_tokens_routes_to_exact_only(spark):
     assert all(r["minhash"] is None for r in idx.collect())
 
 
+def test_duplicate_doc_ids_fail_loudly(spark):
+    """Round-5 contract decision: doc_id uniqueness is a validated
+    precondition — cluster ids ARE doc ids, so a duplicated id would
+    silently merge unrelated rows. The default (collect_stats=True)
+    path raises; throughput runs (collect_stats=False) document the
+    precondition and skip the check."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 1, 2], "text": ["doc a", "doc b", "doc c"]}
+        )
+    )
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        dedup(spark, df, DedupConfig(), tiers=("exact",))
+    # unique ids pass the same gate
+    ok = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["doc a", "doc b"]})
+    )
+    res = dedup(spark, ok, DedupConfig(), tiers=("exact",))
+    assert res.assignments.count() == 2
+
+
+def test_empty_corpus_dedup(spark):
+    """Zero-row input flows through every tier and yields zero-row
+    assignments/clusters (no crash, no phantom rows)."""
+    df = spark.createDataFrame([], "doc_id long, text string")
+    res = dedup(spark, df, DedupConfig())
+    assert res.assignments.count() == 0
+    assert res.clusters.count() == 0
+    assert res.assignments.columns == ["doc_id", "cluster_id", "is_canonical"]
+
+
 def test_null_payload_degrades_not_crashes(spark):
     from deduplication_spark.operators.multimodal import (
         extract_features,

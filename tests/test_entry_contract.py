@@ -15,10 +15,9 @@ import __spark_entry__ as entry
 
 # hash-seeded / iterative operators: rows-only BY DESIGN (documented in
 # the module docstring). Growing this set should be a deliberate choice.
+# Round 5 graduated minhash_signatures / cdc_chunks / embedding_ann_lsh
+# to derived-invariant oracles; only the seeded feature digest remains.
 ROWS_ONLY = {
-    "minhash_signatures",
-    "cdc_chunks",
-    "embedding_ann_lsh",
     "multimodal_features",
 }
 

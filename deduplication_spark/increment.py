@@ -329,6 +329,19 @@ def dedup_increment(
         reuse_input=collect_stats,
     )
     lsh_pairs = cand.pairs.filter(F.col("b") >= lo)
+    if collect_stats:
+        # Materialize the pairs HERE, then collect the metrics and
+        # release the shared membership cache immediately. Owning the
+        # materialization decouples the cleanup from the downstream
+        # helper's internals (round-4 advice: the previous formulation
+        # unpersisted after minhash_near_edges on the assumption that
+        # its internal eager checkpoint had consumed the pairs — if
+        # that ever changed, the verify path would silently recompute
+        # the full band-explode subtree with the cache gone).
+        lsh_pairs = lsh_pairs.localCheckpoint(eager=True)
+        metrics["lsh_candidates"] = cand.metrics.collect()[0].asDict()
+        if cand.shared is not None:
+            cand.shared.unpersist()
 
     sigs = index.select(
         F.col("member_id").alias("doc_id"), "minhash"
@@ -344,14 +357,6 @@ def dedup_increment(
     # see minhash_near_edges); texts=None decides borderline pairs by
     # the estimate at the threshold (documented trade in the docstring)
     near = minhash_near_edges(lsh_pairs, sigs, cfg, texts=texts)
-    if collect_stats:
-        # AFTER minhash_near_edges: its eager localCheckpoint has
-        # already consumed the pairs from the shared membership cache,
-        # so collecting the metrics aggregation and releasing the cache
-        # here costs one extra job and no recompute
-        metrics["lsh_candidates"] = cand.metrics.collect()[0].asDict()
-        if cand.shared is not None:
-            cand.shared.unpersist()
 
     # near edges touch old MEMBERS; lift them to their cluster id so the
     # component election lands on the stable existing id

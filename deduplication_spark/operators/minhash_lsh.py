@@ -162,22 +162,29 @@ def minhash_near_edges(
 def minhash_edges(
     docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
-    """End-to-end tier: returns (verified edges (a,b,jaccard), metrics).
+    """End-to-end tier: returns (verified edges (a,b,jaccard), metrics),
+    both eagerly materialized (localCheckpoint).
 
-    `enriched` is persisted: it feeds the candidate path AND both sides
-    of the verify join, so without the cache the corpus-wide shingle +
-    MinHash UDF subtree would execute up to 3x per action. Callers that
-    keep the returned frames long-lived may `spark.catalog.clearCache()`
-    when done."""
+    `enriched` is persisted while the tier runs — it feeds the
+    candidate path AND both sides of the verify join, so without the
+    cache the corpus-wide shingle + MinHash UDF subtree would execute
+    up to 3x. The cache is released BEFORE returning (round-4 advice:
+    a lazy return kept the persist alive forever, accumulating cached
+    partitions across calls in a long-lived session); eager
+    materialization is what makes the early unpersist safe."""
     enriched = with_minhash(
         with_shingles(docs.select(id_col, text_col), cfg), cfg
     ).persist()
-    cand = lsh_candidates(enriched, cfg, id_col)
-    edges = verify_jaccard(
-        cand.pairs,
-        enriched.select(id_col, "shingles"),
-        id_col=id_col,
-        feature_col="shingles",
-        threshold=cfg.jaccard_verify_threshold,
-    )
-    return edges, cand.metrics
+    try:
+        cand = lsh_candidates(enriched, cfg, id_col)
+        edges = verify_jaccard(
+            cand.pairs,
+            enriched.select(id_col, "shingles"),
+            id_col=id_col,
+            feature_col="shingles",
+            threshold=cfg.jaccard_verify_threshold,
+        ).localCheckpoint(eager=True)
+        metrics = cand.metrics.localCheckpoint(eager=True)
+    finally:
+        enriched.unpersist()
+    return edges, metrics

@@ -80,16 +80,21 @@ def simhash_edges(
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end tier from a docs frame that already has `shingles`.
 
-    Returns (verified edges (a, b, hamming), candidate metrics).
-
-    `enriched` is persisted: it feeds the bucket path and BOTH sides of
-    the Hamming join, so without the cache the SimHash UDF (and any
-    upstream shingle UDF in the input plan) would evaluate up to 3x per
-    action — same fix as minhash_edges."""
+    Returns (verified edges (a, b, hamming), candidate metrics), both
+    eagerly materialized. `enriched` is persisted while the tier runs
+    (it feeds the bucket path and BOTH sides of the Hamming join — the
+    SimHash UDF would otherwise evaluate up to 3x) and released BEFORE
+    returning — same persist-hygiene fix as minhash_edges."""
     enriched = with_simhash(docs_with_shingles).persist()
-    buckets = simhash_chunk_buckets(enriched, cfg, id_col)
-    cand = bucket_pairs(
-        buckets, ["chunk_idx", "chunk_val"], id_col=id_col, cap=cfg.bucket_pair_cap
-    )
-    edges = verify_hamming(cand.pairs, enriched.select(id_col, "simhash"), cfg, id_col)
-    return edges, cand.metrics
+    try:
+        buckets = simhash_chunk_buckets(enriched, cfg, id_col)
+        cand = bucket_pairs(
+            buckets, ["chunk_idx", "chunk_val"], id_col=id_col, cap=cfg.bucket_pair_cap
+        )
+        edges = verify_hamming(
+            cand.pairs, enriched.select(id_col, "simhash"), cfg, id_col
+        ).localCheckpoint(eager=True)
+        metrics = cand.metrics.localCheckpoint(eager=True)
+    finally:
+        enriched.unpersist()
+    return edges, metrics

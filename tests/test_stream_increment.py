@@ -317,6 +317,37 @@ def test_persisted_index_versions_pin_signature_config(spark, tmp_path):
     assert res.assignments.count() == 1
 
 
+def test_pin_sig_never_overwrites_a_drifted_pin(spark, tmp_path):
+    """Round-4 advice (medium): _pin_sig must VALIDATE an existing
+    sig_cfg pin, never re-stamp it. Previously a warm index pinned
+    with config A, streamed with drifted config B, had its batch=-1
+    version written with B's fingerprint BEFORE dedup_increment's
+    guard ran — the first run failed, but a restart of batch 0 read
+    the forged pin, passed the guard, and LSH recall collapsed
+    silently. Now the stamp itself raises, so nothing forged can ever
+    be persisted (every persisted version goes through _pin_sig)."""
+    from deduplication_spark.io import ConfigMismatch
+    from deduplication_spark.streaming.increment_stream import _pin_sig
+
+    warm_cfg = DedupConfig()
+    drifted = DedupConfig(hash_seed=0xBAD5EED)
+    warm = empty_index(spark, cfg=warm_cfg)
+
+    with pytest.raises(ConfigMismatch, match="pinned to signature config"):
+        _pin_sig(warm, drifted)
+
+    # same config re-stamps to the identical value — allowed
+    p = str(tmp_path / "idx")
+    _pin_sig(warm, warm_cfg).write.parquet(p)
+    restored = spark.read.parquet(p)
+    # and the round-tripped pin is likewise protected against drift
+    with pytest.raises(ConfigMismatch, match="pinned to signature config"):
+        _pin_sig(restored, drifted)
+    # an UNPINNED legacy index gets stamped (first-write path)
+    unpinned = empty_index(spark)
+    assert _pin_sig(unpinned, warm_cfg).schema["minhash"].metadata["sig_cfg"]
+
+
 def test_partial_initial_index_refuses_cold_overwrite(
     spark, docs, src_dir, tmp_path
 ):

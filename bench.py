@@ -58,6 +58,95 @@ def _max_rss_kb() -> dict[str, int]:
     return out
 
 
+class _SysSampler:
+    """dstat-analog 1 s system-metrics sampler (the missing element of
+    the reference bench protocol, scripts/encode_bench.sh:61 — dstat
+    -cdm --output CSV): a daemon thread reads /proc/stat and
+    /proc/diskstats once per second and writes one CSV row per tick
+    (cpu busy fraction, io read/write bytes/s). Pure /proc reads — no
+    external tools, negligible overhead."""
+
+    def __init__(self, out_path: str):
+        import threading
+
+        self.out_path = out_path
+        self._stop = threading.Event()
+        self._rows: list[tuple] = []
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    @staticmethod
+    def _cpu() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return sum(vals), idle
+
+    @staticmethod
+    def _disk() -> tuple[int, int]:
+        rd = wr = 0
+        with open("/proc/diskstats") as f:
+            for line in f:
+                fld = line.split()
+                # whole devices only (skip partitions: name ends in a
+                # digit following a letter, e.g. sda1/nvme0n1p1)
+                name = fld[2]
+                if name.startswith(("loop", "ram")) or (
+                    name[-1].isdigit() and not name.startswith("nvme")
+                ) or (name.startswith("nvme") and "p" in name[5:]):
+                    continue
+                rd += int(fld[5]) * 512
+                wr += int(fld[9]) * 512
+        return rd, wr
+
+    def _loop(self) -> None:
+        tot0, idle0 = self._cpu()
+        rd0, wr0 = self._disk()
+        t0 = time.time()
+        while not self._stop.wait(1.0):
+            tot1, idle1 = self._cpu()
+            rd1, wr1 = self._disk()
+            t1 = time.time()
+            dt = max(t1 - t0, 1e-9)
+            dtot = max(tot1 - tot0, 1)
+            self._rows.append(
+                (
+                    round(t1 - self._t_start, 1),
+                    round(1.0 - (idle1 - idle0) / dtot, 4),
+                    int((rd1 - rd0) / dt),
+                    int((wr1 - wr0) / dt),
+                )
+            )
+            tot0, idle0, rd0, wr0, t0 = tot1, idle1, rd1, wr1, t1
+
+    def __enter__(self) -> "_SysSampler":
+        self._t_start = time.time()
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=3)
+        try:
+            with open(self.out_path, "w") as f:
+                f.write("elapsed_sec,cpu_busy_frac,disk_read_bps,disk_write_bps\n")
+                for r in self._rows:
+                    f.write(",".join(str(x) for x in r) + "\n")
+        except OSError:
+            pass
+
+    def summary(self) -> dict:
+        if not self._rows:
+            return {}
+        cpu = [r[1] for r in self._rows]
+        return {
+            "n_samples": len(self._rows),
+            "cpu_busy_mean": round(sum(cpu) / len(cpu), 4),
+            "cpu_busy_max": round(max(cpu), 4),
+            "csv": os.path.relpath(self.out_path, os.path.dirname(__file__)),
+        }
+
+
 def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     import __spark_entry__ as entry
 
@@ -109,6 +198,7 @@ def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     from deduplication_spark.pipeline import dedup
 
     pipe_runs = []
+    stage_walls: list[dict[str, int]] = []
     for _ in range(repeats):
         t0 = time.time()
         res = dedup(
@@ -116,6 +206,13 @@ def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
         )
         res.assignments.write.format("noop").mode("overwrite").save()
         pipe_runs.append(time.time() - t0)
+        # per-stage wall clock from the lineage log (round-4 verdict
+        # #5): tier stages run on concurrent driver threads, so these
+        # overlap — they sum to MORE than the pipeline wall; use them
+        # to rank optimization targets, not to reconstruct the total
+        stage_walls.append(
+            {l["stage"]: l["wall_ms"] for l in res.lineage}
+        )
     pipeline_sec = round(min(pipe_runs), 3)
     timings["dedup_pipeline"] = pipeline_sec
     median["dedup_pipeline"] = round(_median(pipe_runs), 3)
@@ -139,6 +236,8 @@ def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
         "cpus": cpus,
         "dup_ratio": round(1 - n_clusters / n_docs, 4),
         "max_rss_kb": _max_rss_kb(),
+        # best run's per-stage breakdown (ms; stages overlap — see note)
+        "stage_wall_ms": stage_walls[pipe_runs.index(min(pipe_runs))],
     }
     return out
 
@@ -146,7 +245,13 @@ def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    print(json.dumps(run(sf_dir, cpus)))
+    csv = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_sysmetrics.csv"
+    )
+    with _SysSampler(csv) as sampler:
+        out = run(sf_dir, cpus)
+    out["system_metrics"] = sampler.summary()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

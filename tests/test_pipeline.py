@@ -86,6 +86,61 @@ def test_resume_reads_back_and_matches(spark, docs, result):
     assert a1 == a2
 
 
+def test_torn_stage_recomputed_on_resume(spark, docs, result, tmp_path):
+    """Chaos-resume (round-4 verdict #4): a crash mid-stage leaves the
+    stage dir WITHOUT _SUCCESS (the torn-write artifact StageStore's
+    exists() keys on) and no downstream stages. A re-run must
+    recompute the torn stage and everything downstream while resuming
+    completed upstream stages — and land on the same result as the
+    clean run. (The streaming side has the analogous partial-initial
+    guard; this pins the batch StageStore's contract.)"""
+    import os
+    import shutil
+
+    res, clean_dir = result
+    run_dir = str(tmp_path / "torn_run")
+    shutil.copytree(clean_dir, run_dir)
+    # simulate the crash: edges_minhash was mid-write (no _SUCCESS, a
+    # stray partial part-file left behind), downstream never ran
+    torn = os.path.join(run_dir, "stage=edges_minhash")
+    os.remove(os.path.join(torn, "_SUCCESS"))
+    with open(os.path.join(torn, "part-99999-torn.parquet"), "wb") as f:
+        f.write(b"partial write, not a parquet footer")
+    for stage in ("assignments", "clusters"):
+        shutil.rmtree(os.path.join(run_dir, f"stage={stage}"))
+
+    lineage_path = os.path.join(run_dir, "lineage.jsonl")
+    with open(lineage_path) as f:
+        n_prior = sum(1 for line in f if line.strip())
+
+    res2 = dedup(spark, docs, DedupConfig(), run_dir=run_dir)
+    new = res2.lineage[n_prior:]
+    status = {l["stage"]: l["status"] for l in new}
+    # torn stage + downstream recomputed, completed stages resumed
+    assert status["edges_minhash"] == "computed"
+    assert status["assignments"] == "computed"
+    assert status["clusters"] == "computed"
+    for stage in (
+        "enriched",
+        "edges_exact",
+        "edges_simhash",
+        "cand_minhash",
+        "cand_substring",
+        "edges_substring",
+    ):
+        assert status[stage] == "resumed", (stage, status)
+    # the torn partial file did not leak into the recomputed snapshot
+    assert not os.path.exists(
+        os.path.join(torn, "part-99999-torn.parquet")
+    )
+    a1 = sorted(map(tuple, res.assignments.collect()))
+    a2 = sorted(map(tuple, res2.assignments.collect()))
+    assert a1 == a2
+    # sanity: the recomputed lineage is journaled, not rewritten
+    with open(lineage_path) as f:
+        assert sum(1 for line in f if line.strip()) > n_prior
+
+
 def test_resume_config_mismatch_fails_fast(spark, docs, result):
     _, run_dir = result
     with pytest.raises(ConfigMismatch):

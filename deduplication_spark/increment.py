@@ -82,26 +82,39 @@ class IncrementResult:
     metrics: dict = field(default_factory=dict)
 
 
-def _enrich(docs: DataFrame, cfg: DedupConfig, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, content_hash, minhash) — same fused single-Arrow-pass
-    kernel as the full pipeline, so increment signatures are bit-equal
-    to full-run signatures at the same config."""
+def _enrich(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str,
+    text_col: str,
+    include_simhash: bool = False,
+) -> DataFrame:
+    """(doc_id, content_hash, minhash[, simhash]) — same fused
+    single-Arrow-pass kernel as the full pipeline, so increment
+    signatures are bit-equal to full-run signatures at the same
+    config. The simhash column (one extra bigint out of the SAME UDF
+    pass — zero additional Arrow round trips) is emitted only when the
+    simhash increment tier needs it."""
     enr = make_enrich_udf(cfg.num_perm, cfg.hash_seed, cfg.shingle_k)
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    mh = F.col("_e.minhash")
+    mh, sh = F.col("_e.minhash"), F.col("_e.simhash")
     if cfg.min_doc_tokens > cfg.shingle_k:
         # same codegen gate as pipeline.build_enriched: the
         # "shorter docs -> exact tier only" contract is enforced at
         # min_doc_tokens on both paths so signatures stay bit-equal
         from .functions.text import token_count
 
-        mh = F.when(token_count(F.col("text")) >= cfg.min_doc_tokens, mh)
+        gate = token_count(F.col("text")) >= cfg.min_doc_tokens
+        mh, sh = F.when(gate, mh), F.when(gate, sh)
+    cols = ["doc_id", "content_hash", mh.alias("minhash")]
+    if include_simhash:
+        cols.append(sh.alias("simhash"))
     return (
         with_content_key(base)
         .withColumn("_e", enr(F.col("text")))
-        .select("doc_id", "content_hash", mh.alias("minhash"))
+        .select(*cols)
     )
 
 
@@ -120,9 +133,12 @@ def build_index(
     than the increment itself). When the base run's enriched stage is
     at hand — `DedupResult.enriched`, or the `enriched` snapshot of a
     `run_dir` StageStore — use `index_from_enriched` instead: a join,
-    zero UDF passes."""
+    zero UDF passes. The simhash column is included (8 bytes/row, ~1%
+    index width) so the optional simhash increment tier can probe it."""
     return index_from_enriched(
-        _enrich(docs, cfg, id_col, text_col), assignments, cfg=cfg
+        _enrich(docs, cfg, id_col, text_col, include_simhash=True),
+        assignments,
+        cfg=cfg,
     )
 
 
@@ -138,7 +154,12 @@ def index_from_enriched(
     When `cfg` is given, the signature config fingerprint is pinned as
     column metadata on `minhash` (it survives a parquet round trip), so
     `dedup_increment` can fail fast on a config mismatch — the DDP1
-    header check applied to the increment index."""
+    header check applied to the increment index.
+
+    When `enriched` carries a `simhash` column (the full pipeline's
+    enriched stage does), it is carried into the index (8 bytes/row)
+    so `dedup_increment(tiers=(..., "simhash"))` can probe it; an
+    index built without it simply cannot serve the simhash tier."""
     minhash_col = (
         F.col("minhash").alias(
             "minhash", metadata={"sig_cfg": _sig_fingerprint(cfg)}
@@ -146,15 +167,20 @@ def index_from_enriched(
         if cfg is not None
         else F.col("minhash")
     )
+    has_sim = "simhash" in enriched.columns
+    sig_cols = ["doc_id", "content_hash", "minhash"] + (
+        ["simhash"] if has_sim else []
+    )
+    out_cols = [
+        F.col("doc_id").alias("member_id"),
+        F.col("cluster_id"),
+        F.col("content_hash"),
+        minhash_col,
+    ] + ([F.col("simhash")] if has_sim else [])
     return (
-        enriched.select("doc_id", "content_hash", "minhash")
+        enriched.select(*sig_cols)
         .join(assignments.select("doc_id", "cluster_id"), "doc_id")
-        .select(
-            F.col("doc_id").alias("member_id"),
-            "cluster_id",
-            "content_hash",
-            minhash_col,
-        )
+        .select(*out_cols)
     )
 
 
@@ -167,8 +193,21 @@ def dedup_increment(
     id_col: str = "doc_id",
     text_col: str = "text",
     collect_stats: bool = False,
+    tiers: tuple[str, ...] = ("exact", "minhash"),
 ) -> IncrementResult:
     """Dedup `new_docs` against `index` (and within themselves).
+
+    `tiers`: which increment tiers run — a subset of
+    ("exact", "minhash", "simhash"); "exact" is always required (the
+    dictionary probe is the identity of the operation). "simhash"
+    (off by default) probes the index's 8-byte simhash fingerprints
+    with the same pigeonhole chunk bucketing as the full pipeline —
+    it closes the residual recall gap for high-bit-agreement pairs
+    whose Jaccard sits just under the LSH S-curve, for ~1% extra
+    index width. It requires an index whose rows carry `simhash`
+    (indexes from `build_index` / `index_from_enriched` over the
+    pipeline's enriched stage do). The substring tier remains
+    full-run-only by design.
 
     `base_docs`: optional (doc_id, text) covering the base corpus. When
     given, borderline LSH candidates get the same exact-Jaccard
@@ -187,6 +226,22 @@ def dedup_increment(
     """
     cfg = cfg or DedupConfig()
     metrics: dict = {}
+
+    allowed = {"exact", "minhash", "simhash"}
+    if not set(tiers) <= allowed or "exact" not in tiers:
+        raise ValueError(
+            f"increment tiers must be a subset of {sorted(allowed)} "
+            f"containing 'exact', got {tiers!r}"
+        )
+    if "simhash" in tiers and "simhash" not in index.columns:
+        raise ValueError(
+            "tiers includes 'simhash' but the index has no simhash "
+            "column — rebuild it with build_index/index_from_enriched "
+            "(the pipeline's enriched stage carries simhash)"
+        )
+    # index schema is sticky: once an index carries simhash, every
+    # appended row must too, or the next increment's union would break
+    carry_sim = "simhash" in index.columns
 
     # --- signature-config guard (ConfigMismatch fail-fast, as for
     # resume): a num_perm/hash_seed/shingle_k drift vs the index-building
@@ -207,7 +262,9 @@ def dedup_increment(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).repartition(n_part, "doc_id")
 
-    enriched = _enrich(new_base, cfg, "doc_id", "text").localCheckpoint(eager=True)
+    enriched = _enrich(
+        new_base, cfg, "doc_id", "text", include_simhash=carry_sim
+    ).localCheckpoint(eager=True)
 
     # --- ID contract: every new id above every base member id ----------
     bounds = (
@@ -297,74 +354,118 @@ def dedup_increment(
         .select("a", F.col("doc_id").alias("b"))
     )
 
-    # --- tier 2: MinHash-LSH, probe-shaped -----------------------------
-    # Only buckets TOUCHED by the new batch are examined: the index's
-    # band memberships are left-semi-joined on the new batch's distinct
-    # band keys BEFORE the capped window/expansion, so pure-old buckets
-    # (the overwhelming majority of a big index) are never sorted or
-    # pair-expanded — cost is O(|new| x bands) probe + the touched
-    # buckets, not O(|index| x bands) per increment. Result-identical
-    # to running over the full union: untouched buckets could only
-    # contribute old-old pairs, which the b >= lo filter discarded
-    # anyway (the base run already adjudicated them); touched buckets
-    # keep their full membership, so the capped expansion and chain
-    # links inside them are unchanged.
-    new_members = band_key_buckets(enriched, cfg)
-    touched = new_members.select("band_key").distinct()
-    idx_members = (
-        band_key_buckets(
-            index.select(F.col("member_id").alias("doc_id"), "minhash"), cfg
-        )
-        .join(touched, "band_key", "left_semi")
-        # the USING-column join moves band_key to the front; re-pin the
-        # column ORDER before the positional union (union is by
-        # position — a swapped order would silently feed band keys
-        # into the doc_id column)
-        .select("doc_id", "band_key")
-    )
-    cand = bucket_pairs(
-        idx_members.union(new_members),
-        ["band_key"],
-        cap=cfg.bucket_pair_cap,
-        reuse_input=collect_stats,
-    )
-    lsh_pairs = cand.pairs.filter(F.col("b") >= lo)
-    if collect_stats:
-        # Materialize the pairs HERE, then collect the metrics and
-        # release the shared membership cache immediately. Owning the
-        # materialization decouples the cleanup from the downstream
-        # helper's internals (round-4 advice: the previous formulation
-        # unpersisted after minhash_near_edges on the assumption that
-        # its internal eager checkpoint had consumed the pairs — if
-        # that ever changed, the verify path would silently recompute
-        # the full band-explode subtree with the cache gone).
-        lsh_pairs = lsh_pairs.localCheckpoint(eager=True)
-        metrics["lsh_candidates"] = cand.metrics.collect()[0].asDict()
-        if cand.shared is not None:
-            cand.shared.unpersist()
+    near_frames: list[DataFrame] = []
 
-    sigs = index.select(
-        F.col("member_id").alias("doc_id"), "minhash"
-    ).union(enriched.select("doc_id", "minhash"))
-    texts = None
-    if base_docs is not None:
-        texts = new_base.union(
-            base_docs.select(
-                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    if "minhash" in tiers:
+        # --- tier 2: MinHash-LSH, probe-shaped -------------------------
+        # Only buckets TOUCHED by the new batch are examined: the
+        # index's band memberships are left-semi-joined on the new
+        # batch's distinct band keys BEFORE the capped window/expansion,
+        # so pure-old buckets (the overwhelming majority of a big index)
+        # are never sorted or pair-expanded — cost is O(|new| x bands)
+        # probe + the touched buckets, not O(|index| x bands) per
+        # increment. Result-identical to running over the full union:
+        # untouched buckets could only contribute old-old pairs, which
+        # the b >= lo filter discarded anyway (the base run already
+        # adjudicated them); touched buckets keep their full membership,
+        # so the capped expansion and chain links inside them are
+        # unchanged.
+        new_members = band_key_buckets(enriched, cfg)
+        touched = new_members.select("band_key").distinct()
+        idx_members = (
+            band_key_buckets(
+                index.select(F.col("member_id").alias("doc_id"), "minhash"),
+                cfg,
             )
+            .join(touched, "band_key", "left_semi")
+            # the USING-column join moves band_key to the front; re-pin
+            # the column ORDER before the positional union (union is by
+            # position — a swapped order would silently feed band keys
+            # into the doc_id column)
+            .select("doc_id", "band_key")
         )
-    # the SAME decision procedure as the full pipeline (shared helper —
-    # see minhash_near_edges); texts=None decides borderline pairs by
-    # the estimate at the threshold (documented trade in the docstring)
-    near = minhash_near_edges(lsh_pairs, sigs, cfg, texts=texts)
+        cand = bucket_pairs(
+            idx_members.union(new_members),
+            ["band_key"],
+            cap=cfg.bucket_pair_cap,
+            reuse_input=collect_stats,
+        )
+        lsh_pairs = cand.pairs.filter(F.col("b") >= lo)
+        if collect_stats:
+            # Materialize the pairs HERE, then collect the metrics and
+            # release the shared membership cache immediately. Owning
+            # the materialization decouples the cleanup from the
+            # downstream helper's internals (round-4 advice: the
+            # previous formulation unpersisted after minhash_near_edges
+            # on the assumption that its internal eager checkpoint had
+            # consumed the pairs — if that ever changed, the verify
+            # path would silently recompute the full band-explode
+            # subtree with the cache gone).
+            lsh_pairs = lsh_pairs.localCheckpoint(eager=True)
+            metrics["lsh_candidates"] = cand.metrics.collect()[0].asDict()
+            if cand.shared is not None:
+                cand.shared.unpersist()
+
+        sigs = index.select(
+            F.col("member_id").alias("doc_id"), "minhash"
+        ).union(enriched.select("doc_id", "minhash"))
+        texts = None
+        if base_docs is not None:
+            texts = new_base.union(
+                base_docs.select(
+                    F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+                )
+            )
+        # the SAME decision procedure as the full pipeline (shared
+        # helper — see minhash_near_edges); texts=None decides
+        # borderline pairs by the estimate at the threshold (documented
+        # trade in the docstring)
+        near_frames.append(minhash_near_edges(lsh_pairs, sigs, cfg, texts=texts))
+
+    if "simhash" in tiers:
+        # --- tier 3: SimHash pigeonhole, probe-shaped ------------------
+        # Same probe shape as the LSH tier: only chunk buckets touched
+        # by the new batch are expanded (left-semi on the new batch's
+        # distinct (chunk_idx, chunk_val) keys), so steady-state cost
+        # is O(|new| x chunks), not O(|index| x chunks). Verification
+        # is the exact Hamming check (pure codegen) — identical
+        # decision procedure to the full pipeline's simhash tier.
+        from .operators.simhash import simhash_chunk_buckets, verify_hamming
+
+        idx_sim = index.select(F.col("member_id").alias("doc_id"), "simhash")
+        new_sim_b = simhash_chunk_buckets(enriched, cfg)
+        touched_sim = new_sim_b.select("chunk_idx", "chunk_val").distinct()
+        idx_sim_b = (
+            simhash_chunk_buckets(idx_sim, cfg)
+            .join(touched_sim, ["chunk_idx", "chunk_val"], "left_semi")
+            .select("doc_id", "chunk_idx", "chunk_val")
+        )
+        sim_cand = bucket_pairs(
+            idx_sim_b.union(new_sim_b.select("doc_id", "chunk_idx", "chunk_val")),
+            ["chunk_idx", "chunk_val"],
+            cap=cfg.bucket_pair_cap,
+        )
+        sim_pairs = sim_cand.pairs.filter(F.col("b") >= lo)
+        sim_frame = idx_sim.union(enriched.select("doc_id", "simhash"))
+        near_frames.append(
+            verify_hamming(sim_pairs, sim_frame, cfg).select("a", "b")
+        )
 
     # near edges touch old MEMBERS; lift them to their cluster id so the
     # component election lands on the stable existing id
-    m2c = index.select(F.col("member_id").alias("a"), F.col("cluster_id").alias("_c"))
-    near_lifted = (
-        near.join(m2c, "a", "left")
-        .select(F.coalesce("_c", "a").alias("a"), "b")
-    )
+    if near_frames:
+        near = near_frames[0]
+        for nf in near_frames[1:]:
+            near = near.union(nf)
+        m2c = index.select(
+            F.col("member_id").alias("a"), F.col("cluster_id").alias("_c")
+        )
+        near_lifted = (
+            near.join(m2c, "a", "left")
+            .select(F.coalesce("_c", "a").alias("a"), "b")
+        )
+    else:
+        near_lifted = exact_new.limit(0)
 
     # --- components over the increment edge set ------------------------
     edges = exact_old.union(exact_new).union(near_lifted)
@@ -394,13 +495,13 @@ def dedup_increment(
     )
 
     # --- updated index: remap merged base rows, append the new batch ---
+    sig_tail = ["content_hash", "minhash"] + (["simhash"] if carry_sim else [])
     idx_kept = index.join(
         merges, index.cluster_id == merges.old_cluster_id, "left"
     ).select(
         "member_id",
         F.coalesce("merged_into", "cluster_id").alias("cluster_id"),
-        "content_hash",
-        "minhash",
+        *sig_tail,
     )
     new_rows = (
         assignments.select("doc_id", "cluster_id")
@@ -408,8 +509,7 @@ def dedup_increment(
         .select(
             F.col("doc_id").alias("member_id"),
             "cluster_id",
-            "content_hash",
-            "minhash",
+            *sig_tail,
         )
     )
     updated_index = idx_kept.union(new_rows)

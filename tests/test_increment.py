@@ -343,6 +343,69 @@ def test_merge_chain_spans_batches(spark):
     assert idx == {1: 1, 2: 1, 3: 1, 10: 1, 20: 20, 30: 1}
 
 
+def test_simhash_increment_tier_catches_residual_pair(spark):
+    """Round-4 verdict #6: the optional simhash increment tier closes
+    the recall gap for high-bit-agreement pairs whose Jaccard sits
+    just under the verify threshold. The pair below was found by a
+    deterministic search over the repo's OWN kernels (_shingle_batch /
+    _simhash_kernel at the default config): exact shingle Jaccard
+    0.783 — below 0.8, so the minhash tier's exact verification
+    REJECTS it — while simhash Hamming distance is 3 <= radius, so the
+    pigeonhole bucket + Hamming verify ACCEPTS it."""
+    cfg = DedupConfig()
+    toks = [f"t1158x{i}" for i in range(45)]
+    doc_a = " ".join(toks)
+    var = list(toks)
+    var[14] = "a1158"
+    doc_b = " ".join(var)
+
+    base_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [doc_a, "completely unrelated filler document text here"],
+            }
+        )
+    )
+    base = dedup(spark, base_df, cfg)
+    index = index_from_enriched(base.enriched, base.assignments, cfg=cfg)
+    # pipeline-built indexes carry the 8-byte simhash column
+    assert "simhash" in index.columns
+
+    new_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10], "text": [doc_b]})
+    )
+    # default tiers: jaccard < threshold -> correctly NOT clustered
+    inc0 = dedup_increment(spark, new_df, index, cfg, base_docs=base_df)
+    got0 = {r["doc_id"]: r["cluster_id"] for r in inc0.assignments.collect()}
+    assert got0 == {10: 10}
+
+    # simhash tier on: the pair is found INCREMENTALLY
+    inc1 = dedup_increment(
+        spark,
+        new_df,
+        index,
+        cfg,
+        base_docs=base_df,
+        tiers=("exact", "minhash", "simhash"),
+    )
+    got1 = {r["doc_id"]: r["cluster_id"] for r in inc1.assignments.collect()}
+    assert got1 == {10: 1}
+    # the updated index keeps carrying simhash for the next increment
+    assert "simhash" in inc1.index.columns
+
+    # an index without the column cannot serve the tier — loud, not
+    # silently exact/minhash-only
+    bare = index.drop("simhash")
+    with pytest.raises(ValueError, match="simhash"):
+        dedup_increment(
+            spark, new_df, bare, cfg, tiers=("exact", "minhash", "simhash")
+        )
+    # and a bogus tier name is rejected outright
+    with pytest.raises(ValueError, match="subset"):
+        dedup_increment(spark, new_df, index, cfg, tiers=("exact", "substring"))
+
+
 def test_increment_collect_stats_reports_candidate_accounting(
     spark, split, inc_run
 ):

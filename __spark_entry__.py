@@ -6,8 +6,9 @@ operator from SURVEY.md §2 (+ the training-data-pipeline extras);
 `oracle_sql()` gives the DuckDB-runnable ANSI equivalent for every
 SQL-expressible one. Hash-dependent surfaces are projected to
 derived-invariant columns an oracle CAN pin (signature/banding/chunk
-shape, ANN result shape); only the seeded multimodal feature digest
-remains rows-only — its values are pytest-verified instead.
+shape, ANN result shape, feature-extraction contract) — every query
+now carries an oracle; seeded raw values (signature bytes, chunk
+fingerprints, fake features) are pytest-verified instead.
 
 Column names and value rounding are aligned on both sides so the
 driver's order-insensitive value-hash comparison is exact.
@@ -1239,25 +1240,38 @@ def q_incremental_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode/feature plumbing over mapInPandas (decode stubbed —
-    deterministic fake features; see operators/multimodal.py). The
-    feature vector is projected to a 64-bit digest so the driver's
-    canonicalizer (which sorts columns) can compare rows."""
+    deterministic fake features; see operators/multimodal.py),
+    graduated from rows-only to a derived-invariant oracle (round-5):
+    the feature VALUES are a seeded projection (pytest-verified,
+    tests/test_multimodal.py), but the extraction contract is exact —
+    n_bytes/magic/modality recomputed by DuckDB from the same payload
+    bytes, the feature vector has exactly the configured width, and it
+    is L2-normalized (unit norm, computed from the REAL vector
+    Spark-side and pinned TRUE by the oracle)."""
     from deduplication_spark.operators.multimodal import extract_features
 
     d = _docs(spark, sf_dir).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     feats = extract_features(d, id_col="doc_id")
+    norm = F.sqrt(
+        F.aggregate(
+            "feature",
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
     return feats.select(
         F.col("id").alias("doc_id"),
         "n_bytes",
         "magic_hex",
         "modality",
-        F.xxhash64(
-            F.concat_ws(
-                ",", F.transform("feature", lambda x: F.format_number(x, 5))
-            )
-        ).alias("feature_hash"),
+        F.size("feature").alias("feat_len"),
+        # zero-byte payloads project to the (unnormalizable) zero
+        # vector by contract — vacuously ok
+        ((F.col("n_bytes") == 0) | (F.abs(norm - 1.0) < 1e-3)).alias(
+            "feat_unit_norm"
+        ),
     )
 
 
@@ -1354,7 +1368,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "incremental_assignments": q_incremental_assignments,
         "edge_corpus": q_edge_corpus,
-        # rows-only (hash-seeded end to end; pytest-verified instead)
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1739,6 +1752,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    octet_length(encode(text)) AS n_bytes,
                    substring(upper(hex(encode(text))), 1, 2) AS magic_hex
+            FROM documents
+        """,
+        "multimodal_features": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   -- extract_features' magic is the FIRST TWO BYTES
+                   -- (4 hex chars); multimodal_metadata's is one byte
+                   substring(upper(hex(encode(text))), 1, 4) AS magic_hex,
+                   -- utf-8 text cannot start with the jpeg/png/webm
+                   -- magic bytes (invalid lead bytes); only the ASCII
+                   -- magics are reachable from a text payload
+                   CASE WHEN substring(text, 1, 3) = 'ID3' THEN 'audio/mp3'
+                        WHEN substring(text, 1, 4) = 'RIFF' THEN 'audio/wav'
+                        ELSE 'application/octet-stream' END AS modality,
+                   CAST(8 AS INT) AS feat_len,
+                   TRUE AS feat_unit_norm
             FROM documents
         """,
         "near_dup_assignments": _NEAR_DUP_TRUTH_SQL,

@@ -15,11 +15,11 @@ import __spark_entry__ as entry
 
 # hash-seeded / iterative operators: rows-only BY DESIGN (documented in
 # the module docstring). Growing this set should be a deliberate choice.
-# Round 5 graduated minhash_signatures / cdc_chunks / embedding_ann_lsh
-# to derived-invariant oracles; only the seeded feature digest remains.
-ROWS_ONLY = {
-    "multimodal_features",
-}
+# Round 5 graduated every remaining rows-only query to a derived-
+# invariant oracle (minhash_signatures / cdc_chunks / embedding_ann_lsh
+# / multimodal_features) — the set is now empty; seeded raw values are
+# pytest-verified instead.
+ROWS_ONLY: set[str] = set()
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "

@@ -63,7 +63,9 @@ INDEX_SCHEMA = (
 
 
 def empty_index(
-    spark: SparkSession, cfg: DedupConfig | None = None
+    spark: SparkSession,
+    cfg: DedupConfig | None = None,
+    with_simhash: bool = False,
 ) -> DataFrame:
     """A zero-row member index (cold start: no base corpus).
 
@@ -71,8 +73,13 @@ def empty_index(
     (exactly like increment.index_from_enriched) — then a restart that
     probes persisted index versions with a DRIFTED config (hash_seed /
     shingle_k / band layout) fails fast with ConfigMismatch instead of
-    silently collapsing LSH recall to exact-only."""
-    df = spark.createDataFrame([], INDEX_SCHEMA)
+    silently collapsing LSH recall to exact-only.
+
+    `with_simhash=True` adds the 8-byte simhash column so a cold-start
+    stream can run the simhash increment tier (index schema is sticky
+    across increments — the first batch decides it)."""
+    schema = INDEX_SCHEMA + (", simhash long" if with_simhash else "")
+    df = spark.createDataFrame([], schema)
     return _pin_sig(df, cfg) if cfg is not None else df
 
 
@@ -159,8 +166,14 @@ def stream_dedup_increment(
     id_col: str = "doc_id",
     text_col: str = "text",
     collect_stats: bool = False,
+    tiers: tuple[str, ...] = ("exact", "minhash"),
 ) -> StreamingQuery:
     """Start the streaming prober. Returns the StreamingQuery.
+
+    `tiers` is forwarded to `dedup_increment` per microbatch (add
+    "simhash" for the pigeonhole tier — requires an index carrying the
+    simhash column, e.g. `empty_index(..., with_simhash=True)` for a
+    cold start or a pipeline-built warm index).
 
     Each microbatch: dedup_increment(batch, index@N-1) -> overwrite the
     batch's (doc_id, cluster_id, is_canonical) under
@@ -283,6 +296,7 @@ def stream_dedup_increment(
             # per-batch candidate accounting (dropped pairs etc.) lands
             # in state.batch_metrics[batch_id]["lsh_candidates"]
             collect_stats=collect_stats,
+            tiers=tiers,
         )
         if docs_dir is not None:
             batch_df.select(id_col, text_col).write.mode("overwrite").parquet(

@@ -317,6 +317,71 @@ def test_persisted_index_versions_pin_signature_config(spark, tmp_path):
     assert res.assignments.count() == 1
 
 
+def test_stream_simhash_tier_catches_residual_pair(spark, tmp_path):
+    """tiers=(... "simhash") forwards to the per-batch prober: the
+    kernel-searched residual pair (jaccard 0.783 -> minhash tier
+    exact-verifies and REJECTS via docs_dir; hamming 3 -> simhash
+    pigeonhole ACCEPTS) is caught across two microbatches from a
+    cold simhash-carrying index."""
+    import glob
+    import shutil
+
+    import pandas as pd
+
+    toks = [f"t1158x{i}" for i in range(45)]
+    doc_a = " ".join(toks)
+    var = list(toks)
+    var[14] = "a1158"
+    doc_b = " ".join(var)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        pd.DataFrame({"doc_id": [1, 2], "text": [doc_a, "unrelated filler doc text here"]}),
+        pd.DataFrame({"doc_id": [10], "text": [doc_b]}),
+    ]
+    for i, pdf in enumerate(batches):
+        tmp = os.path.join(src, f"tmp_b{i}")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(tmp)
+        [f] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dest = os.path.join(src, f"batch_{i}.parquet")
+        shutil.move(f, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    cfg = DedupConfig()
+    state = StreamIncrementState(
+        index=empty_index(spark, cfg=cfg, with_simhash=True)
+    )
+    out = tmp_path
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_dedup_increment(
+        stream,
+        state,
+        assignments_dir=str(out / "assignments"),
+        index_dir=str(out / "index"),
+        docs_dir=str(out / "docs"),
+        cfg=cfg,
+        checkpoint_dir=str(out / "ckpt"),
+        trigger={"availableNow": True},
+        tiers=("exact", "minhash", "simhash"),
+    )
+    assert q.awaitTermination(300), "stream did not finish in time"
+    assert state.last_batch == 1
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(str(out / "assignments")).collect()
+    }
+    assert got == {1: 1, 2: 2, 10: 1}
+    # the persisted index versions keep the simhash column
+    idx = spark.read.parquet(str(out / "index" / "batch=1"))
+    assert "simhash" in idx.columns and idx.count() == 3
+
+
 def test_pin_sig_never_overwrites_a_drifted_pin(spark, tmp_path):
     """Round-4 advice (medium): _pin_sig must VALIDATE an existing
     sig_cfg pin, never re-stamp it. Previously a warm index pinned

@@ -136,6 +136,29 @@ def test_empty_corpus_dedup(spark):
     assert res.assignments.columns == ["doc_id", "cluster_id", "is_canonical"]
 
 
+def test_ten_megabyte_doc_flows_through_all_tiers(spark):
+    """A single ~10 MB document (plus its exact twin and an unrelated
+    doc) through the FULL tiered pipeline: one Arrow batch carries the
+    whole payload through the fused enrich UDF, CDC chunker, and
+    substring verifier without splitting, truncating, or crashing —
+    and the twin still clusters. (The edge_corpus green query carries
+    a 2.3 MB doc to keep the driver's correctness pass fast; this
+    pins the 10 MB point.)"""
+    big = " ".join(f"b{i}" for i in range(1_300_000))  # ~10.3 MB
+    assert len(big) > 10_000_000
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [big, big, "tiny unrelated doc text"],
+            }
+        )
+    )
+    res = dedup(spark, df, DedupConfig(), collect_stats=False)
+    cmap = {r["doc_id"]: r["cluster_id"] for r in res.assignments.collect()}
+    assert cmap == {1: 1, 2: 1, 3: 3}
+
+
 def test_null_payload_degrades_not_crashes(spark):
     from deduplication_spark.operators.multimodal import (
         extract_features,

@@ -287,13 +287,19 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", ""))
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    # try_divide: a zero-length doc must yield NULL ratios, not kill
+    # the whole query (Spark 4 runs ANSI mode by default, where a
+    # plain `/` raises DIVIDE_BY_ZERO); DuckDB's `/` already returns
+    # NULL on a zero divisor, so the oracle agrees without changes
     return d.select(
         "doc_id",
         n_tok.alias("token_count"),
         n_char.alias("char_count"),
-        F.round(punct / n_char, 6).alias("punct_ratio"),
-        F.round(stop_hits / n_tok, 6).alias("stopword_ratio"),
-        F.round(F.size(F.array_distinct(toks)) / n_tok, 6).alias("lexical_diversity"),
+        F.round(F.try_divide(punct, n_char), 6).alias("punct_ratio"),
+        F.round(F.try_divide(stop_hits, n_tok), 6).alias("stopword_ratio"),
+        F.round(
+            F.try_divide(F.size(F.array_distinct(toks)), n_tok), 6
+        ).alias("lexical_diversity"),
     )
 
 
@@ -1178,8 +1184,12 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("ranks_contiguous"),
             (
+                # 1e-9 slack: cosine of two identical vectors can round
+                # to 1.0000000000000002 (num/(norm*norm) fp error) —
+                # without it a fixture containing duplicate vectors
+                # flips this pinned-TRUE invariant
                 (n == 0)
-                | ((F.col("_cmin") >= -1.0) & (F.col("_cmax") <= 1.0))
+                | ((F.col("_cmin") >= -1.0 - 1e-9) & (F.col("_cmax") <= 1.0 + 1e-9))
             ).alias("cos_in_range"),
             ((n == 0) | (F.col("_c_first") >= F.col("_c_last"))).alias(
                 "rank_order_ok"
@@ -1442,8 +1452,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_freq DESC, gram LIMIT 20
         """,
         "shingle_hashes": f"""
+            -- coalesce(text,''): NULL text is 0 shingles Spark-side
             WITH toks AS (
-              SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+              SELECT doc_id,
+                     string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS t
               FROM documents
             )
             SELECT doc_id,
@@ -1455,7 +1467,9 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
         """,
         "cdc_coverage": """
-            SELECT doc_id, octet_length(encode(text)) AS covered_bytes
+            -- coalesce(text,''): NULL text chunks to [] Spark-side
+            SELECT doc_id,
+                   octet_length(encode(coalesce(text, ''))) AS covered_bytes
             FROM documents
         """,
         "quality_filter": """
@@ -1624,14 +1638,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "simhash_fingerprints": f"""
+            -- coalesce(text,''): NULL text has NO fingerprint
+            -- Spark-side (has_fp false, not NULL)
             SELECT doc_id,
-                   len(string_split_regex(trim(lower(text)), '\\s+'))
+                   len(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'))
                      >= {CFG.shingle_k} AS has_fp
             FROM documents
         """,
         "minhash_signatures": f"""
+            -- coalesce(text,''): the Spark enrich kernel treats NULL
+            -- text as "" (0 shingles, no signature); without it a NULL
+            -- row would yield n_shingles NULL here vs 0 Spark-side
             WITH toks AS (
-              SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+              SELECT doc_id,
+                     string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS t
               FROM documents
             )
             SELECT doc_id,
@@ -1645,8 +1665,10 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
         """,
         "cdc_chunks": """
+            -- coalesce(text,''): the Spark side coalesces a NULL chunk
+            -- array to [] (covered_bytes 0, booleans vacuously TRUE)
             SELECT doc_id,
-                   octet_length(encode(text)) AS covered_bytes,
+                   octet_length(encode(coalesce(text, ''))) AS covered_bytes,
                    TRUE AS max_len_ok,
                    TRUE AS head_min_len_ok,
                    TRUE AS n_chunks_bounded
@@ -1732,7 +1754,11 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "frame_sample": """
-            WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+            -- text IS NOT NULL: a missing payload emits ZERO frames
+            -- Spark-side (sample_frames degradation contract), not
+            -- four all-NULL ones
+            WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+                       FROM documents WHERE text IS NOT NULL),
                  f AS (SELECT unnest([0,1,2,3]) AS frame_idx)
             SELECT doc_id, frame_idx,
                    ((n*(frame_idx+1)) // 4) - ((n*frame_idx) // 4) AS n_bytes,
@@ -1743,9 +1769,15 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": """
             SELECT doc_id,
                    CAST((length(text) + 3) // 4 AS INT) AS n_bytes,
-                   md5(array_to_string(list_transform(
-                       generate_series(1, length(text), 4),
-                       i -> substring(text, i, 1)), '')) AS resized_md5
+                   -- the CASE keeps NULL text -> NULL md5 while fixing
+                   -- the empty-text case: array_to_string([],'') is
+                   -- NULL in DuckDB, but Spark md5's an empty payload
+                   -- to d41d8c... like every other md5 implementation
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE md5(coalesce(array_to_string(list_transform(
+                            generate_series(1, length(text), 4),
+                            i -> substring(text, i, 1)), ''), ''))
+                   END AS resized_md5
             FROM documents
         """,
         "multimodal_metadata": """
@@ -1763,11 +1795,20 @@ def oracle_sql() -> dict[str, str]:
                    -- utf-8 text cannot start with the jpeg/png/webm
                    -- magic bytes (invalid lead bytes); only the ASCII
                    -- magics are reachable from a text payload
-                   CASE WHEN substring(text, 1, 3) = 'ID3' THEN 'audio/mp3'
+                   -- a NULL payload degrades to an all-NULL feature
+                   -- row Spark-side (extract_features contract), so
+                   -- every derived column must be NULL here too —
+                   -- without the text IS NULL arms the CASE would fall
+                   -- to 'application/octet-stream' and the constants
+                   -- would stay non-NULL
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN substring(text, 1, 3) = 'ID3' THEN 'audio/mp3'
                         WHEN substring(text, 1, 4) = 'RIFF' THEN 'audio/wav'
                         ELSE 'application/octet-stream' END AS modality,
-                   CAST(8 AS INT) AS feat_len,
-                   TRUE AS feat_unit_norm
+                   CAST(CASE WHEN text IS NULL THEN NULL ELSE 8 END AS INT)
+                     AS feat_len,
+                   CASE WHEN text IS NULL THEN NULL ELSE TRUE END
+                     AS feat_unit_norm
             FROM documents
         """,
         "near_dup_assignments": _NEAR_DUP_TRUTH_SQL,

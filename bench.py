@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import resource
 import sys
 import time
@@ -88,12 +89,18 @@ class _SysSampler:
         with open("/proc/diskstats") as f:
             for line in f:
                 fld = line.split()
-                # whole devices only (skip partitions: name ends in a
-                # digit following a letter, e.g. sda1/nvme0n1p1)
+                # whole devices only. A partition name is its parent
+                # device plus a numeric suffix (sda1, nvme0n1p1,
+                # mmcblk0p2), so "ends in a digit" alone misclassifies
+                # whole devices like mmcblk0/md0/dm-0/sr0 and would
+                # record an IO-idle system on LVM/RAID/eMMC hosts;
+                # instead skip sdXN / vdXN and anything ending in pN
+                # after another digit (the kernel partition patterns).
                 name = fld[2]
-                if name.startswith(("loop", "ram")) or (
-                    name[-1].isdigit() and not name.startswith("nvme")
-                ) or (name.startswith("nvme") and "p" in name[5:]):
+                if name.startswith(("loop", "ram")):
+                    continue
+                if re.fullmatch(r"(?:[shv]d[a-z]+|xvd[a-z]+)\d+", name) or \
+                        re.search(r"\dp\d+$", name):
                     continue
                 rd += int(fld[5]) * 512
                 wr += int(fld[9]) * 512

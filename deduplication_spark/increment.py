@@ -15,7 +15,8 @@ of the reference's insert-if-absent dictionary probe
 first, extend it only with genuinely-new entries.
 
 The index has MEMBER granularity — one row per base document:
-(member_id, cluster_id, content_hash, minhash), ~1 KB/row, no text.
+(member_id, cluster_id, content_hash, minhash, simhash), ~1 KB/row,
+no text.
 Per-cluster (canonical-only) indexing is NOT sufficient: a new doc's
 exact twin or >=0.8-Jaccard neighbor is often a non-canonical member
 whose own hash/signature must be probe-able (cluster membership is
@@ -53,7 +54,7 @@ from .operators.components import connected_components
 from .operators.exact import with_content_key
 from .operators.minhash_lsh import band_key_buckets, minhash_near_edges
 
-INDEX_COLS = ("member_id", "cluster_id", "content_hash", "minhash")
+INDEX_COLS = ("member_id", "cluster_id", "content_hash", "minhash", "simhash")
 
 
 def _sig_fingerprint(cfg: DedupConfig) -> str:
@@ -444,8 +445,20 @@ def dedup_increment(
             idx_sim_b.union(new_sim_b.select("doc_id", "chunk_idx", "chunk_val")),
             ["chunk_idx", "chunk_val"],
             cap=cfg.bucket_pair_cap,
+            reuse_input=collect_stats,
         )
         sim_pairs = sim_cand.pairs.filter(F.col("b") >= lo)
+        if collect_stats:
+            # Same dropped-pair accounting contract as the LSH tier
+            # above: capped chunk buckets chain-link and DROP pairs,
+            # and that loss must be observable, never silent
+            # (operators/candidates.py invariant). Materialize the
+            # pairs first so the metrics collect and the downstream
+            # verify both reuse one band-explode pass.
+            sim_pairs = sim_pairs.localCheckpoint(eager=True)
+            metrics["simhash_candidates"] = sim_cand.metrics.collect()[0].asDict()
+            if sim_cand.shared is not None:
+                sim_cand.shared.unpersist()
         sim_frame = idx_sim.union(enriched.select("doc_id", "simhash"))
         near_frames.append(
             verify_hamming(sim_pairs, sim_frame, cfg).select("a", "b")

@@ -160,8 +160,12 @@ def minhash_near_edges(
 
 
 def minhash_edges(
-    docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id", text_col: str = "text"
-) -> tuple[DataFrame, DataFrame]:
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_metrics: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """End-to-end tier: returns (verified edges (a,b,jaccard), metrics),
     both eagerly materialized (localCheckpoint).
 
@@ -171,7 +175,11 @@ def minhash_edges(
     up to 3x. The cache is released BEFORE returning (round-4 advice:
     a lazy return kept the persist alive forever, accumulating cached
     partitions across calls in a long-lived session); eager
-    materialization is what makes the early unpersist safe."""
+    materialization is what makes the early unpersist safe. Callers
+    that only want edges pass with_metrics=False, which skips the
+    candidate-accounting aggregation entirely (metrics is None) —
+    a lazy metrics frame cannot be returned, as it would recompute the
+    whole band-explode subtree after the cache is gone."""
     enriched = with_minhash(
         with_shingles(docs.select(id_col, text_col), cfg), cfg
     ).persist()
@@ -184,7 +192,7 @@ def minhash_edges(
             feature_col="shingles",
             threshold=cfg.jaccard_verify_threshold,
         ).localCheckpoint(eager=True)
-        metrics = cand.metrics.localCheckpoint(eager=True)
+        metrics = cand.metrics.localCheckpoint(eager=True) if with_metrics else None
     finally:
         enriched.unpersist()
     return edges, metrics

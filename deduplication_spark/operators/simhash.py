@@ -76,15 +76,21 @@ def verify_hamming(
 
 
 def simhash_edges(
-    docs_with_shingles: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
-) -> tuple[DataFrame, DataFrame]:
+    docs_with_shingles: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    with_metrics: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """End-to-end tier from a docs frame that already has `shingles`.
 
     Returns (verified edges (a, b, hamming), candidate metrics), both
     eagerly materialized. `enriched` is persisted while the tier runs
     (it feeds the bucket path and BOTH sides of the Hamming join — the
     SimHash UDF would otherwise evaluate up to 3x) and released BEFORE
-    returning — same persist-hygiene fix as minhash_edges."""
+    returning — same persist-hygiene fix as minhash_edges. Pass
+    with_metrics=False to skip the candidate-accounting aggregation
+    (metrics is None); it cannot be returned lazily once the cache is
+    released."""
     enriched = with_simhash(docs_with_shingles).persist()
     try:
         buckets = simhash_chunk_buckets(enriched, cfg, id_col)
@@ -94,7 +100,7 @@ def simhash_edges(
         edges = verify_hamming(
             cand.pairs, enriched.select(id_col, "simhash"), cfg, id_col
         ).localCheckpoint(eager=True)
-        metrics = cand.metrics.localCheckpoint(eager=True)
+        metrics = cand.metrics.localCheckpoint(eager=True) if with_metrics else None
     finally:
         enriched.unpersist()
     return edges, metrics

@@ -388,11 +388,22 @@ def test_simhash_increment_tier_catches_residual_pair(spark):
         cfg,
         base_docs=base_df,
         tiers=("exact", "minhash", "simhash"),
+        collect_stats=True,
     )
     got1 = {r["doc_id"]: r["cluster_id"] for r in inc1.assignments.collect()}
     assert got1 == {10: 1}
     # the updated index keeps carrying simhash for the next increment
     assert "simhash" in inc1.index.columns
+    # the tier reports the same dropped-pair accounting as the LSH
+    # tier (capped chunk buckets must never lose pairs silently)
+    sm = inc1.metrics["simhash_candidates"]
+    assert set(sm) == {
+        "n_buckets",
+        "n_capped_buckets",
+        "n_candidate_edges",
+        "dropped_pairs",
+    }
+    assert sm["n_buckets"] > 0 and sm["dropped_pairs"] >= 0
 
     # an index without the column cannot serve the tier — loud, not
     # silently exact/minhash-only

@@ -2,7 +2,15 @@
 query on Spark AND its oracle_sql on DuckDB at sf0.01, compare
 row-count + column names + order-insensitive values.
 
-Usage: python tools/check_contract.py [sf_dir] [query ...]
+Usage: python tools/check_contract.py [--nulls] [sf_dir] [query ...]
+
+--nulls: before checking, copy sf_dir to a temp dir whose documents
+table gains three adversarial rows (NULL text, empty string,
+whitespace-only) and run the sweep against THAT — proves every
+query/oracle pair agrees on degenerate text, not just on the
+well-formed driver fixture (round-5: this sweep found a real ANSI
+DIVIDE_BY_ZERO crash in text_features plus three oracle NULL-semantics
+divergences).
 """
 
 from __future__ import annotations
@@ -17,6 +25,39 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+
+def _doctored_nulls(sf_dir: str) -> str:
+    """Copy sf_dir to a temp dir, appending NULL / "" / whitespace-only
+    text rows (fresh doc_ids) to the documents table."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dst = tempfile.mkdtemp(prefix="sfnulls_")
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)
+        if name != "documents.parquet":
+            shutil.copy(p, os.path.join(dst, name))
+            continue
+        t = pq.read_table(p)
+        cols = {c: t[c].to_pylist() for c in t.column_names}
+        template = {c: cols[c][0] for c in t.column_names}
+        next_id = max(cols["doc_id"]) + 1
+        for off, txt in enumerate((None, "", "   ")):
+            row = dict(template, doc_id=next_id + off, text=txt)
+            for c in t.column_names:
+                cols[c].append(row[c])
+        pq.write_table(
+            pa.table(
+                {c: pa.array(cols[c], t.schema.field(c).type) for c in t.column_names}
+            ),
+            os.path.join(dst, name),
+        )
+    return dst
 
 
 def _norm(v):
@@ -41,8 +82,13 @@ def _rowset(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--nulls"]
+    nulls = "--nulls" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if nulls:
+        sf_dir = _doctored_nulls(sf_dir)
+        print(f"nulls-doctored fixture: {sf_dir}")
 
     import duckdb
 

@@ -1198,6 +1198,64 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN #2: IVF-Flat (deterministic sampled+Lloyd coarse
+    quantizer, one inverted list per vector, nprobe-list probe join —
+    no cross join, no distinct exchange). Same derived-invariant oracle
+    shape as `embedding_ann_lsh`: WHICH neighbors surface is
+    approximate by construction (recall committed in
+    BENCH/ann_recall.json `ivf`: dup_recall 1.0 at the default
+    n_list=32/nprobe=4), but the result SHAPE is exact — per query: at
+    most k neighbors, ranks contiguous from 1, rank order agrees with
+    score order, scores in [-1, 1]. One row per query (left join: a
+    query probing only empty lists still emits its row, vacuously
+    true); booleans computed from the REAL top-k frame Spark-side and
+    pinned TRUE by the oracle. Raw (neighbor_id, cos_sim) values are
+    pytest-pinned against brute instead
+    (tests/test_similarity.py::test_ivf_topk_deterministic_and_scores_exact)."""
+    from deduplication_spark.operators.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10)
+    res = ivf_topk(e, q, k=5, n_list=32, nprobe=4)
+    per_q = res.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("rank").alias("_rmin"),
+        F.max("rank").alias("_rmax"),
+        F.countDistinct("rank").alias("_rdist"),
+        F.min("cos_sim").alias("_cmin"),
+        F.max("cos_sim").alias("_cmax"),
+        F.min_by("cos_sim", "rank").alias("_c_first"),
+        F.max_by("cos_sim", "rank").alias("_c_last"),
+    )
+    n = F.coalesce(F.col("_n"), F.lit(0))
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            (n <= 5).alias("n_le_k"),
+            (
+                (n == 0)
+                | (
+                    (F.col("_rmin") == 1)
+                    & (F.col("_rmax") == n)
+                    & (F.col("_rdist") == n)
+                )
+            ).alias("ranks_contiguous"),
+            (
+                # same 1e-9 slack as embedding_ann_lsh: cosine of two
+                # identical vectors can round to 1 + 2e-16
+                (n == 0)
+                | ((F.col("_cmin") >= -1.0 - 1e-9) & (F.col("_cmax") <= 1.0 + 1e-9))
+            ).alias("cos_in_range"),
+            ((n == 0) | (F.col("_c_first") >= F.col("_c_last"))).alias(
+                "rank_order_ok"
+            ),
+        )
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (a_id < b_id, cos >= 0.40,
     rounded to 4 places in BOTH engines so the boundary predicate is
@@ -1376,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "cdc_chunks": q_cdc_chunks,
         "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
         "incremental_assignments": q_incremental_assignments,
         "edge_corpus": q_edge_corpus,
         "multimodal_features": q_multimodal_features,
@@ -1675,6 +1734,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "embedding_ann_lsh": """
+            SELECT vec_id AS query_id,
+                   TRUE AS n_le_k,
+                   TRUE AS ranks_contiguous,
+                   TRUE AS cos_in_range,
+                   TRUE AS rank_order_ok
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "embedding_ann_ivf": """
             SELECT vec_id AS query_id,
                    TRUE AS n_le_k,
                    TRUE AS ranks_contiguous,

@@ -23,6 +23,7 @@ from deduplication_spark.operators.simhash import simhash_edges, with_simhash
 from deduplication_spark.operators.similarity import (
     cosine_near_dup,
     cosine_topk,
+    ivf_topk,
     lsh_topk,
 )
 from deduplication_spark.operators.substring import substring_edges
@@ -38,6 +39,7 @@ __all__ = [
     "exact_assignments",
     "extract_features",
     "lsh_candidates",
+    "ivf_topk",
     "lsh_topk",
     "minhash_edges",
     "minhash_near_edges",

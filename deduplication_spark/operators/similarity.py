@@ -1,14 +1,20 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, sharing one scoring definition:
+Three paths, sharing one scoring definition:
 
 - `cosine_topk` — brute-force exact top-k: cross join + sequential-fold
   dot products (JVM codegen; no Python). The correctness baseline and
   the right choice when the query set is small.
-- `lsh_topk` — the scale path: random-hyperplane (sign) LSH buckets
+- `lsh_topk` — scale path 1: random-hyperplane (sign) LSH buckets
   candidates first, so each query scores only vectors sharing a bucket
   in some table. Same bucket_pairs-style grouping discipline as the
   text tiers; recall is tunable via (n_tables, n_bits).
+- `ivf_topk` — scale path 2: IVF-Flat. A bounded sampled-centroid
+  "train" step partitions the corpus into n_list inverted lists (each
+  vector in exactly ONE list — no distinct exchange needed, unlike
+  LSH's multi-table buckets); queries probe their nprobe nearest lists.
+  Candidate volume per query is ~nprobe/n_list of the corpus, tuned
+  independently of recall-per-candidate (LSH couples both to n_bits).
 
 Random hyperplanes are drawn from a seeded generator inside an
 Arrow-batched pandas UDF (one matmul per batch), so bucketing is
@@ -323,6 +329,198 @@ def cosine_near_dup(
         score(cand)
         .filter(F.round("cos_sim", 4) >= threshold)
         .select("a_id", "b_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def _ivf_centroids(
+    embeddings: DataFrame,
+    n_list: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    train_factor: int = 16,
+    train_iters: int = 5,
+) -> np.ndarray | None:
+    """IVF 'train' step: spherical k-means on a deterministic bounded
+    sample, run DRIVER-side in numpy (the FAISS practice of training
+    the coarse quantizer on a sample, not the corpus).
+
+    Sampling: the n_list x train_factor corpus vectors with the
+    smallest xxhash64(id, seed) — a seeded uniform sample that is
+    stable across runs, partitionings, and parallelism levels (unlike
+    TABLESAMPLE). Init = the first n_list sampled rows; train_iters
+    fixed Lloyd iterations refine them (empty lists keep their
+    centroid). Everything downstream of the sample is single-process
+    numpy over a hash-ordered array, so training is deterministic —
+    a corpus-side distributed Lloyd pass would be cheaper per byte but
+    its float summation order is partition-dependent, and a drifting
+    quantizer breaks run-to-run reproducibility of the index.
+    train_iters=0 degrades to plain sampled centroids (use for very
+    large n_list where the driver matmul would dominate: train cost is
+    O(n_list^2 x train_factor x dim x iters) flops).
+
+    Driver-side collect is BOUNDED by config at n_list x train_factor
+    x dim doubles (32 x 16 x 768 ~= 3 MB; 1024 x 16 x 768 ~= 100 MB
+    — size train_factor down as n_list grows), the same
+    justified-small-collect class as the components convergence probe:
+    index construction, not per-row data movement. Centroids are
+    L2-normalized (spherical quantizer: nearest-by-dot ==
+    nearest-by-cosine); NULL, empty, zero-norm and non-finite sampled
+    rows are dropped; with mixed widths the majority width wins
+    (off-width corpus rows then degrade to unassigned, exactly like
+    the LSH NULL-bucket path). Returns None when no usable vector
+    exists."""
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull() & (F.size("_v") > 0))
+        .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id"))
+        .limit(n_list * max(train_factor, 1))
+        .collect()
+    )
+    if not rows:
+        return None
+    by_width: dict[int, list] = {}
+    for r in rows:
+        by_width.setdefault(len(r["_v"]), []).append(r["_v"])
+    vecs = max(by_width.values(), key=lambda v: (len(v), -len(v[0])))
+    s = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(s, axis=1)
+    ok = (norms > 0) & np.isfinite(norms) & np.isfinite(s).all(axis=1)
+    if not ok.any():
+        return None
+    s = s[ok] / norms[ok, None]
+    c = s[:n_list].copy()
+    for _ in range(max(train_iters, 0)):
+        assign = np.argmax(s @ c.T, axis=1)
+        for j in range(len(c)):
+            members = s[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        cn = np.linalg.norm(c, axis=1)
+        dead = cn <= 0  # a zero-mean list keeps its previous direction
+        cn[dead] = 1.0
+        c = c / cn[:, None]
+    return c
+
+
+def _ivf_assign(vec_col, centroids: np.ndarray, m: int):
+    """Column of the m nearest centroid indices (array<int>, nearest
+    first) for each vector — ONE Arrow-batched matmul per batch against
+    the broadcast centroid matrix, the same kernel shape as
+    hyperplane_buckets. argmax of dot(v, c_norm) == argmax cosine (the
+    |v| factor is constant per row), so input rows are not normalized.
+    Ties break toward the lower centroid index (stable argsort) so
+    assignment is fully deterministic. NULL / off-width / non-finite
+    rows get NULL (degrade to unassigned, not a crash)."""
+    d = centroids.shape[1]
+    m = min(m, centroids.shape[0])
+
+    @pandas_udf("array<int>")
+    def _assign(vs: pd.Series) -> pd.Series:
+        vals = vs.to_numpy()
+        lens = np.array([-1 if x is None else len(x) for x in vals])
+        ok = lens == d
+        if not ok.any():
+            return pd.Series([None] * len(vals), dtype=object)
+        v = np.vstack(vals[ok])
+        finite = np.isfinite(v).all(axis=1)
+        sims = v[finite] @ centroids.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :m].astype(np.int32)
+        out = [None] * len(vals)
+        rows = np.flatnonzero(ok)[finite]
+        for i, j in enumerate(rows):
+            out[j] = order[i]
+        return pd.Series(out, dtype=object)
+
+    return _assign(vec_col)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_list: int = 32,
+    nprobe: int = 4,
+    seed: int = 0x5EED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_factor: int = 16,
+    train_iters: int = 5,
+) -> DataFrame:
+    """Approximate top-k via IVF-Flat: (query_id, neighbor_id, cos_sim,
+    rank), exact cosine within the probed lists.
+
+    The 100 TB plan: the centroid matrix is a broadcast-sized config
+    artifact (n_list x dim); every corpus vector is assigned to exactly
+    ONE inverted list by a single scan + matmul (shuffle carries
+    (id, list_id) only); each query probes its nprobe nearest lists and
+    the candidate set is an equi-join on list_id — no cross join, no
+    multi-table distinct (a vector appears once per probed list by
+    construction, the structural dedup LSH needs a distinct exchange
+    for). Expected candidates per query ~= nprobe/n_list of the corpus,
+    so cost and recall are tuned by (n_list, nprobe) independently:
+    recall comes from probing more lists, cost per candidate stays
+    exact-cosine. A true neighbor is missed only when its single list
+    is outside the query's probed set — near-duplicate neighbors
+    (cos ~> 0.9) share the query's OWN top list with high probability,
+    which is why dup-shaped recall stays high at small nprobe
+    (measured: BENCH/ann_recall.json `ivf` section).
+
+    Vectors are joined back once per surviving candidate for scoring
+    (ids-only discipline in every exchange, as lsh_topk)."""
+    c = _ivf_centroids(
+        embeddings, n_list, seed, id_col, vec_col, train_factor, train_iters
+    )
+    if c is None:
+        # no usable corpus vector: every query has zero neighbors
+        return (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.lit(None).cast("double").alias("cos_sim"),
+                F.lit(None).cast("int").alias("rank"),
+            ).limit(0)
+        )
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    # corpus side: one list per vector (element_at on the m=1 array)
+    el = e.select(
+        "neighbor_id",
+        F.element_at(_ivf_assign(F.col("_v"), c, 1), 1).alias("list_id"),
+    ).filter(F.col("list_id").isNotNull())
+    # query side: nprobe lists per query
+    ql = q.select(
+        "query_id", _ivf_assign(F.col("_qv"), c, nprobe).alias("_lists")
+    ).select(
+        "query_id", F.explode("_lists").alias("list_id")
+    )
+    pair_ids = (
+        ql.join(el, "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    cand = (
+        pair_ids.join(q.select("query_id", F.col("_qv").alias("qv")), "query_id")
+        .join(e.select("neighbor_id", F.col("_v").alias("v")), "neighbor_id")
+        .select("query_id", "qv", "neighbor_id", "v")
+    )
+    sims = with_cosine_vec(cand).filter(F.col("cos_sim").isNotNull())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
 
 

@@ -176,3 +176,79 @@ def test_default_lsh_config_recall_floor(spark):
     planted = {(i, 1000 + i) for i in range(n)}
     recall = len(found & planted) / n
     assert recall >= 0.95, f"default-config LSH recall {recall:.3f}"
+
+
+def test_ivf_topk_finds_planted_neighbors(spark):
+    """IVF-Flat at the DEFAULT config (n_list=32, nprobe=4) recovers
+    the planted near-duplicate as top-1 for (almost) every query —
+    floors the committed dup_recall row of BENCH/ann_recall.json's
+    `ivf` section (measured 1.0; the floor catches a quantizer
+    regression: sampling drift, Lloyd change, assignment tie-break)."""
+    from deduplication_spark.operators.similarity import ivf_topk
+
+    pdf = _planted(60)
+    df = spark.createDataFrame(pdf)
+    queries = df.filter("vec_id < 60")
+    got = ivf_topk(df, queries, k=1).collect()
+    hits = sum(
+        1
+        for r in got
+        if r["rank"] == 1 and r["neighbor_id"] == r["query_id"] + 1000
+    )
+    assert hits >= 57, f"IVF top-1 recall too low: {hits}/60"
+
+
+def test_ivf_topk_deterministic_and_scores_exact(spark):
+    """Two runs are row-identical (hash-ordered sampling + driver-side
+    Lloyd + stable assignment tie-break — nothing in the quantizer
+    depends on partitioning), and every emitted score equals the brute
+    path's exact score for the same pair (IVF approximates the
+    candidate SET only; scoring is the exact kernel)."""
+    from deduplication_spark.operators.similarity import cosine_topk, ivf_topk
+
+    pdf = _planted(40)
+    df = spark.createDataFrame(pdf)
+    queries = df.filter("vec_id < 10")
+    a = sorted(map(tuple, ivf_topk(df, queries, k=3).collect()))
+    b = sorted(map(tuple, ivf_topk(df, queries, k=3).collect()))
+    assert a == b
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in cosine_topk(df, queries, k=2 * 40).collect()
+    }
+    for qid, nid, cos, _rank in a:
+        assert abs(brute[(qid, nid)] - cos) <= 2e-4
+
+
+def test_ivf_topk_degenerate_corpora(spark):
+    """Empty / all-unusable corpora yield zero rows with the full
+    4-column schema (never a crash); NULL, zero-norm, and off-width
+    rows degrade to unassigned and cannot occupy rank slots."""
+    from deduplication_spark.operators.similarity import ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = ivf_topk(empty, empty, k=3)
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+    assert out.count() == 0
+
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<double>"
+    )
+    assert ivf_topk(all_null, all_null, k=3).count() == 0
+
+    pdf = _planted(20)
+    good = spark.createDataFrame(pdf)
+    bad = spark.createDataFrame(
+        [(9000, None), (9001, [1.0, 2.0]), (9002, [0.0] * DIM)],
+        "vec_id long, embedding array<double>",
+    )
+    df = good.unionByName(bad)
+    rows = ivf_topk(df, df.filter("vec_id < 20"), k=1).collect()
+    ids = {r["neighbor_id"] for r in rows}
+    assert not ids & {9000, 9001, 9002}
+    hits = sum(
+        1
+        for r in rows
+        if r["rank"] == 1 and r["neighbor_id"] == r["query_id"] + 1000
+    )
+    assert hits >= 18

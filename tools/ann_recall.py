@@ -39,7 +39,11 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from deduplication_spark.operators.similarity import cosine_near_dup  # noqa: E402
+from deduplication_spark.operators.similarity import (  # noqa: E402
+    cosine_near_dup,
+    cosine_topk,
+    ivf_topk,
+)
 from deduplication_spark.session import get_spark  # noqa: E402
 
 DIM = 64
@@ -64,6 +68,56 @@ def planted_frame(target_cos: float, seed: int = 7) -> pd.DataFrame:
         rows.append({"vec_id": i, "embedding": base[i].tolist()})
         rows.append({"vec_id": 1000 + i, "embedding": near[i].tolist()})
     return pd.DataFrame(rows)
+
+
+def ivf_section(spark) -> dict:
+    """IVF-Flat recall over (n_list, nprobe), two regimes on one
+    planted-pair corpus (0.91-cos pairs, 500 vectors, queries = the 250
+    base vectors, k=5):
+
+    - `dup_recall` — fraction of queries whose PLANTED near-duplicate
+      surfaces in the IVF top-k. The dedup-shaped question; stays high
+      at small nprobe because a cos~0.9 neighbor lands in (or next to)
+      the query's own top list.
+    - `topk_recall` — |ivf top-k ∩ brute top-k| / |brute top-k| over
+      ALL neighbors, most of which are near-orthogonal background — the
+      worst case for IVF (no cluster structure), scaling ~linearly with
+      nprobe/n_list. Committed so users see BOTH numbers, not just the
+      flattering one.
+
+    Also asserts, like the LSH sweep, that IVF never invents or
+    mis-scores: every emitted score equals brute's exact score for the
+    same pair within the one-ulp rounding tolerance (IVF scores
+    candidates with the exact kernel — only the candidate SET is
+    approximate)."""
+    emb = spark.createDataFrame(planted_frame(0.91)).cache()
+    queries = emb.filter("vec_id < 1000")
+    brute_rows = cosine_topk(emb, queries, k=5).collect()
+    brute = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in brute_rows}
+    results = []
+    for n_list, nprobe in (
+        (16, 1), (16, 4), (32, 1), (32, 4), (32, 8), (64, 4), (64, 8)
+    ):
+        ivf_rows = ivf_topk(
+            emb, queries, k=5, n_list=n_list, nprobe=nprobe
+        ).collect()
+        ivf = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in ivf_rows}
+        wrong = [
+            p for p in ivf if p in brute and abs(ivf[p] - brute[p]) > 2e-4
+        ]
+        assert not wrong, f"IVF mis-scored: {wrong[:5]}"
+        dup_found = sum(1 for q in range(N_BASE) if (q, 1000 + q) in ivf)
+        found = sum(1 for p in ivf if p in brute)
+        results.append(
+            {
+                "n_list": n_list,
+                "nprobe": nprobe,
+                "dup_recall": round(dup_found / N_BASE, 4),
+                "topk_recall": round(found / len(brute), 4) if brute else None,
+            }
+        )
+    emb.unpersist()
+    return {"planted_cos": 0.91, "k": 5, "grid": results}
 
 
 def main() -> None:
@@ -131,6 +185,7 @@ def main() -> None:
         emb.unpersist()
 
     out = {"dim": DIM, "n_vectors": 2 * N_BASE, "grid": results}
+    out["ivf"] = ivf_section(spark)
     dest = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH",

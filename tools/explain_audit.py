@@ -51,6 +51,9 @@ CHECKS = {
     # scale path must candidate via the bucket equi-join, never a
     # cartesian product
     "embedding_near_dup_lsh": ["Join", "!Cartesian"],
+    # IVF scale path: candidates via the list_id equi-join, never a
+    # cartesian product; top-k via the rank window
+    "embedding_ann_ivf_core": ["Join", "!Cartesian", "Window"],
 }
 
 
@@ -91,6 +94,7 @@ def main() -> None:
         "tpch_big_orders",
         "top_docs_per_lang",
         "embedding_near_dup_lsh",
+        "embedding_ann_ivf_core",
         "near_dup_assignments",
     ):
         if name == "embedding_near_dup_lsh":
@@ -101,6 +105,17 @@ def main() -> None:
             emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
             df = cosine_near_dup(emb, 0.9, method="lsh", dim=64)
             label = "embedding_near_dup (lsh scale path)"
+        elif name == "embedding_ann_ivf_core":
+            # the raw IVF top-k plan (the driver query wraps it in the
+            # shape-invariant projection; audit the core operator)
+            from deduplication_spark.operators.similarity import ivf_topk
+            from pyspark.sql import functions as F
+
+            emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            df = ivf_topk(
+                emb, emb.filter(F.col("vec_id") < 10), k=5, n_list=32, nprobe=4
+            )
+            label = "embedding_ann_ivf (ivf-flat scale path)"
         elif name == "near_dup_assignments":
             # plan of the edge union (pre-CC), not the materialized result
             from deduplication_spark.config import DedupConfig

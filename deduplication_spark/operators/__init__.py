@@ -38,8 +38,8 @@ __all__ = [
     "estimate_prefilter",
     "exact_assignments",
     "extract_features",
-    "lsh_candidates",
     "ivf_topk",
+    "lsh_candidates",
     "lsh_topk",
     "minhash_edges",
     "minhash_near_edges",

@@ -366,10 +366,11 @@ def _ivf_centroids(
     index construction, not per-row data movement. Centroids are
     L2-normalized (spherical quantizer: nearest-by-dot ==
     nearest-by-cosine); NULL, empty, zero-norm and non-finite sampled
-    rows are dropped; with mixed widths the majority width wins
-    (off-width corpus rows then degrade to unassigned, exactly like
-    the LSH NULL-bucket path). Returns None when no usable vector
-    exists."""
+    rows are dropped BEFORE width grouping (so an all-degenerate
+    majority width cannot mask a usable minority width); among usable
+    rows the majority width wins (off-width corpus rows then degrade
+    to unassigned, exactly like the LSH NULL-bucket path). Returns
+    None when no usable vector exists."""
     rows = (
         embeddings.select(
             F.col(id_col).alias("_id"),
@@ -380,27 +381,31 @@ def _ivf_centroids(
         .limit(n_list * max(train_factor, 1))
         .collect()
     )
-    if not rows:
-        return None
     by_width: dict[int, list] = {}
     for r in rows:
-        by_width.setdefault(len(r["_v"]), []).append(r["_v"])
+        # NULL array elements become NaN under the float64 cast and are
+        # dropped by the finite check
+        a = np.asarray(r["_v"], dtype=np.float64)
+        n = float(np.linalg.norm(a))
+        if np.isfinite(n) and n > 0 and np.isfinite(a).all():
+            by_width.setdefault(len(a), []).append(a / n)
+    if not by_width:
+        return None
     vecs = max(by_width.values(), key=lambda v: (len(v), -len(v[0])))
     s = np.asarray(vecs, dtype=np.float64)
-    norms = np.linalg.norm(s, axis=1)
-    ok = (norms > 0) & np.isfinite(norms) & np.isfinite(s).all(axis=1)
-    if not ok.any():
-        return None
-    s = s[ok] / norms[ok, None]
     c = s[:n_list].copy()
     for _ in range(max(train_iters, 0)):
         assign = np.argmax(s @ c.T, axis=1)
+        prev = c.copy()
         for j in range(len(c)):
             members = s[assign == j]
             if len(members):
                 c[j] = members.mean(axis=0)
         cn = np.linalg.norm(c, axis=1)
-        dead = cn <= 0  # a zero-mean list keeps its previous direction
+        # a zero-mean list (e.g. an antipodal member pair) keeps its
+        # previous direction — prev rows are already unit-norm
+        dead = cn <= 0
+        c[dead] = prev[dead]
         cn[dead] = 1.0
         c = c / cn[:, None]
     return c

@@ -252,3 +252,38 @@ def test_ivf_topk_degenerate_corpora(spark):
         if r["rank"] == 1 and r["neighbor_id"] == r["query_id"] + 1000
     )
     assert hits >= 18
+
+
+def test_ivf_centroids_survive_adversarial_training_sample():
+    """Quantizer unit edges (driver-side numpy, no Spark needed via a
+    local-relation frame): (a) a Lloyd list whose members mean to zero
+    (antipodal pair) keeps its previous unit-norm direction instead of
+    collapsing to the zero vector — a zero centroid would score 0
+    against everything and win assignment wherever true sims are
+    negative; (b) an all-degenerate majority width (zero vectors)
+    cannot mask a usable minority width, because usability filtering
+    happens BEFORE width grouping."""
+    from deduplication_spark.operators.similarity import _ivf_centroids
+    from deduplication_spark.session import get_spark
+
+    spark = get_spark(cores=2, shuffle_partitions=2)
+    # (a) two antipodal vectors -> with n_list=1 every Lloyd update
+    # mean is exactly zero
+    anti = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    c = _ivf_centroids(anti, n_list=1, seed=1, id_col="vec_id",
+                       vec_col="embedding", train_iters=3)
+    assert c is not None and np.allclose(np.linalg.norm(c, axis=1), 1.0)
+    # (b) majority width 3 is all zero-norm; the width-2 minority is
+    # the only usable group and must win
+    mixed = spark.createDataFrame(
+        [(i, [0.0, 0.0, 0.0]) for i in range(5)]
+        + [(10, [3.0, 4.0]), (11, [0.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    c = _ivf_centroids(mixed, n_list=2, seed=1, id_col="vec_id",
+                       vec_col="embedding")
+    assert c is not None and c.shape[1] == 2
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0)

@@ -86,11 +86,18 @@ def ivf_section(spark) -> dict:
       flattering one.
 
     Also asserts, like the LSH sweep, that IVF never invents or
-    mis-scores: every emitted score equals brute's exact score for the
-    same pair within the one-ulp rounding tolerance (IVF scores
-    candidates with the exact kernel — only the candidate SET is
-    approximate)."""
-    emb = spark.createDataFrame(planted_frame(0.91)).cache()
+    mis-scores: EVERY emitted (pair, score) — not just those that also
+    appear in brute's top-k — is re-derived by an independent
+    driver-side numpy cosine over the same planted frame and must agree
+    to 1e-9 (IVF scores candidates with the exact float64 kernel — only
+    the candidate SET is approximate)."""
+    pdf = planted_frame(0.91)
+    vecs = {
+        int(i): np.asarray(v, dtype=np.float64)
+        for i, v in zip(pdf["vec_id"], pdf["embedding"])
+    }
+    unit = {i: v / np.linalg.norm(v) for i, v in vecs.items()}
+    emb = spark.createDataFrame(pdf).cache()
     queries = emb.filter("vec_id < 1000")
     brute_rows = cosine_topk(emb, queries, k=5).collect()
     brute = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in brute_rows}
@@ -103,7 +110,9 @@ def ivf_section(spark) -> dict:
         ).collect()
         ivf = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in ivf_rows}
         wrong = [
-            p for p in ivf if p in brute and abs(ivf[p] - brute[p]) > 2e-4
+            p
+            for p, cos in ivf.items()
+            if abs(cos - float(unit[p[0]] @ unit[p[1]])) > 1e-9
         ]
         assert not wrong, f"IVF mis-scored: {wrong[:5]}"
         dup_found = sum(1 for q in range(N_BASE) if (q, 1000 + q) in ivf)

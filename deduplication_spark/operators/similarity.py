@@ -152,12 +152,14 @@ def cosine_topk(
 def hyperplane_buckets(
     df: DataFrame,
     dim: int | None = None,
-    n_tables: int = 8,
-    n_bits: int = 12,
+    n_tables: int = 16,
+    n_bits: int = 8,
     seed: int = 0x5EED,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Adds (table_idx, bucket) rows per input row — one per hash table.
+    (Defaults = the recall-first 16x8 config every caller in this
+    package uses; see lsh_topk.)
 
     bucket = the n_bits sign pattern of the vector against that table's
     hyperplanes, packed into a long.
@@ -534,15 +536,23 @@ def lsh_topk(
     queries: DataFrame,
     dim: int | None = None,
     k: int = 10,
-    n_tables: int = 8,
-    n_bits: int = 12,
+    n_tables: int = 16,
+    n_bits: int = 8,
     seed: int = 0x5EED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: score only (query, vector) pairs sharing an LSH
     bucket in at least one table. Equi-join on (table_idx, bucket) — the
-    100 TB-shaped plan: no cross join ever materializes."""
+    100 TB-shaped plan: no cross join ever materializes.
+
+    Defaults match cosine_near_dup's recall-first 16x8 config: at
+    cos 0.91 the per-table collision prob is (1-acos(.91)/pi)^8 ~ 0.31,
+    so 16 tables miss a planted near-dup with prob (1-0.31)^16 ~ 0.3%
+    (the earlier 8x12 default measured 0.76 dup-recall at the 100k
+    drill — a top-k index tuned for candidate volume, not the
+    dedup-shaped recall bar; BENCH/ann_scale_drill.json carries the
+    measured wall/recall/pair-volume trade for both families)."""
     # bucket join + distinct carry ids only (see cosine_near_dup);
     # vectors are joined back once per surviving (query, neighbor) pair
     eb = hyperplane_buckets(embeddings, dim, n_tables, n_bits, seed, vec_col).select(

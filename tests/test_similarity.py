@@ -178,6 +178,27 @@ def test_default_lsh_config_recall_floor(spark):
     assert recall >= 0.95, f"default-config LSH recall {recall:.3f}"
 
 
+def test_lsh_topk_default_finds_planted_neighbors(spark):
+    """lsh_topk at its DEFAULT config (16 tables x 8 bits — the
+    recall-first setting shared with cosine_near_dup) recovers the
+    planted 0.91-cos near-duplicate as top-1 for (almost) every query.
+    Pins the default against regressions toward candidate-volume-tuned
+    settings: the earlier 8x12 default measured only 0.76 dup-recall
+    at the 100k drill (BENCH/ann_scale_drill.json)."""
+    from deduplication_spark.operators.similarity import lsh_topk
+
+    pdf = _planted(60)
+    df = spark.createDataFrame(pdf)
+    queries = df.filter("vec_id < 60")
+    got = lsh_topk(df, queries, k=1).collect()
+    hits = sum(
+        1
+        for r in got
+        if r["rank"] == 1 and r["neighbor_id"] == r["query_id"] + 1000
+    )
+    assert hits >= 57, f"default-config lsh_topk top-1 recall: {hits}/60"
+
+
 def test_ivf_topk_finds_planted_neighbors(spark):
     """IVF-Flat at the DEFAULT config (n_list=32, nprobe=4) recovers
     the planted near-duplicate as top-1 for (almost) every query —

@@ -233,6 +233,13 @@ def test_ivf_topk_deterministic_and_scores_exact(spark):
     a = sorted(map(tuple, ivf_topk(df, queries, k=3).collect()))
     b = sorted(map(tuple, ivf_topk(df, queries, k=3).collect()))
     assert a == b
+    # and across PARTITIONINGS: the quantizer samples by a total
+    # (hash, id) order, so a different physical layout of the same
+    # rows must train the same centroids and return the same rows
+    c = sorted(
+        map(tuple, ivf_topk(df.repartition(7), queries, k=3).collect())
+    )
+    assert a == c
     brute = {
         (r["query_id"], r["neighbor_id"]): r["cos_sim"]
         for r in cosine_topk(df, queries, k=2 * 40).collect()

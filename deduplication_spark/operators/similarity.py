@@ -477,7 +477,17 @@ def ivf_topk(
     (measured: BENCH/ann_recall.json `ivf` section).
 
     Vectors are joined back once per surviving candidate for scoring
-    (ids-only discipline in every exchange, as lsh_topk)."""
+    (ids-only discipline in every exchange, as lsh_topk).
+
+    Skew bound: a clustered corpus can concentrate in few lists (the
+    IVF analog of the LSH boilerplate swarm, SURVEY §4.1), but the
+    per-query worst case is capped at the CORPUS size — i.e. degrades
+    toward brute, never past it, because the probe side carries k-sized
+    query sets, not a self-join (AQE splits the hot list_id's join
+    partitions). All-pairs near-dup over a swarm-shaped corpus is the
+    job of cosine_near_dup / the capped text tiers, whose bucket_pairs
+    cap + chain-linking bound the quadratic case; use those, not a
+    corpus-sized query set here."""
     c = _ivf_centroids(
         embeddings, n_list, seed, id_col, vec_col, train_factor, train_iters
     )

@@ -341,8 +341,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lang, cs in cues.items()
     }
     best = F.greatest(*scores.values())
+    # NULL text -> NULL scores -> `best <= 0` is NULL-false and the
+    # chain would fall through to 'en'; a missing document is 'und'
     guess = (
-        F.when(best <= 0, F.lit("und"))
+        F.when(best.isNull() | (best <= 0), F.lit("und"))
         .when(scores["de"] == best, F.lit("de"))
         .when(scores["es"] == best, F.lit("es"))
         .otherwise(F.lit("en"))
@@ -1633,7 +1635,8 @@ def oracle_sql() -> dict[str, str]:
               FROM t
             )
             SELECT doc_id,
-                   CASE WHEN greatest(en, de, es) <= 0 THEN 'und'
+                   CASE WHEN greatest(en, de, es) IS NULL
+                          OR greatest(en, de, es) <= 0 THEN 'und'
                         WHEN de = greatest(en, de, es) THEN 'de'
                         WHEN es = greatest(en, de, es) THEN 'es'
                         ELSE 'en' END AS lang_guess,

@@ -45,9 +45,27 @@ def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
+def _as_i64(v) -> np.ndarray:
+    """Row coercion for _segments: a NULL row behaves as empty (the
+    UDFs then emit NULL per their docstrings, instead of a TypeError
+    killing the whole Spark stage), and NULL array elements (None from
+    Arrow object arrays, NaN from float promotion) are dropped."""
+    if v is None:
+        return _EMPTY_I64
+    a = np.asarray(v)
+    if a.dtype == object or a.dtype.kind == "f":
+        return np.asarray(
+            [x for x in a if x is not None and x == x], dtype=np.int64
+        )
+    return a.astype(np.int64, copy=False)
+
+
 def _segments(series: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Concatenate a Series of int64 arrays -> (flat_uint64, offsets, lengths)."""
-    arrs = [np.asarray(v, dtype=np.int64) for v in series]
+    arrs = [_as_i64(v) for v in series]
     lengths = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
     flat = (
         np.concatenate(arrs).view(np.uint64)
@@ -68,8 +86,8 @@ def _minhash_kernel(
     b_all: np.ndarray,
     num_perm: int,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(n, num_perm) signature matrix + nonempty mask, preallocated
-    buffers (one (total, chunk) scratch reused across chunks)."""
+    """(n, num_perm) signature matrix + nonempty mask; per-doc
+    (seg x num_perm) blocks, see the L2-residency comment below."""
     n = len(lengths)
     out = np.empty((n, num_perm), dtype=np.uint32)
     nonempty = lengths > 0
@@ -132,11 +150,9 @@ def make_enrich_udf(num_perm: int, seed: int, shingle_k: int):
     sliver of candidate pairs, for which the pipeline recomputes them
     on demand (see pipeline.build_minhash).
     """
-    from .text import _shingle_batch, make_shingle_udf  # noqa: F401  (doc link)
+    from .text import _shingle_batch, shingle_hash_params
 
-    rng = np.random.default_rng(seed ^ 0x5318)
-    mul = np.uint64(int(rng.integers(1, 1 << 62)) * 2 + 1)
-    add = np.uint64(int(rng.integers(0, 1 << 63)))
+    mul, add = shingle_hash_params(seed)
     a_all, b_all = _perm_params(num_perm, seed)
 
     @pandas_udf("struct<minhash:array<bigint>,simhash:bigint>")

@@ -100,15 +100,28 @@ def _shingle_batch(
     return pd.Series([p.tolist() for p in parts], dtype=object, index=series.index)
 
 
-def make_shingle_udf(k: int, seed: int):
-    """pandas UDF: text -> array<bigint> of DISTINCT hashed k-word
-    shingles, sorted. Fewer than k tokens yields an EMPTY array — the
-    analog of the reference's dropped trailing partial block
-    (src/compressor.c:88-93): explicit, routed to the exact tier only.
-    """
+def shingle_hash_params(seed: int) -> tuple[np.uint64, np.uint64]:
+    """The (mul, add) shingle-hash draw — ONE derivation shared by
+    make_shingle_udf and the fused enrich UDF (hashing.make_enrich_udf)
+    so the borderline-verify recompute path stays bit-identical with
+    the signature path by construction."""
     rng = np.random.default_rng(seed ^ 0x5318)
     mul = np.uint64(int(rng.integers(1, 1 << 62)) * 2 + 1)
     add = np.uint64(int(rng.integers(0, 1 << 63)))
+    return mul, add
+
+
+def make_shingle_udf(k: int, seed: int):
+    """pandas UDF: text -> array<bigint> of DISTINCT hashed k-word
+    shingles, sorted in UNSIGNED uint64 order (the emitted array<bigint>
+    view is therefore NOT ascending when hashes >= 2^63 map to negative
+    int64 — consumers are order-free set operations; do not
+    binary-search these arrays). Fewer than k tokens yields an EMPTY
+    array — the analog of the reference's dropped trailing partial
+    block (src/compressor.c:88-93): explicit, routed to the exact tier
+    only.
+    """
+    mul, add = shingle_hash_params(seed)
 
     @pandas_udf("array<bigint>")
     def shingles(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -156,13 +169,10 @@ def with_text_features(df, text_col: str = "text"):
     n_tok = F.size(toks)
     n_char = F.length(t)
     punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?'\"()\[\]]", ""))
-    stop_hits = sum(
-        (
-            F.size(F.filter(toks, lambda w: w == F.lit(sw)))
-            for sw in _STOPWORDS
-        ),
-        start=F.lit(0),
-    )
+    # one membership pass, not one interpreted HOF traversal per
+    # stopword (25x fewer lambda evaluations; HOFs don't codegen)
+    stop_arr = F.array(*[F.lit(sw) for sw in _STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
     lang_scores = {
         lang: sum(
             (
@@ -175,18 +185,28 @@ def with_text_features(df, text_col: str = "text"):
         for lang, cues in _LANG_CUES.items()
     }
     best = F.greatest(*lang_scores.values())
+    # NULL text: every score is NULL, so `best <= 0` is NULL-false and
+    # the chain would fall through to 'en' — guard explicitly ('und',
+    # not English, for a missing document)
     lang_guess = (
-        F.when(best <= 0, F.lit("und"))
+        F.when(best.isNull() | (best <= 0), F.lit("und"))
         .when(lang_scores["de"] == best, F.lit("de"))
         .when(lang_scores["es"] == best, F.lit("es"))
         .otherwise(F.lit("en"))
     )
     punct_ratio = F.when(n_char > 0, punct / n_char).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
-    # Heuristic quality: favor mid-length docs with normal punct/stopword mix.
-    quality = F.round(
-        F.least(F.lit(1.0), n_tok / F.lit(100.0)) * (F.lit(1.0) - punct_ratio),
-        6,
+    # Heuristic quality: favor mid-length docs with normal punct/stopword
+    # mix. NULL text must score 0.0, not 1.0: F.least SKIPS NULLs, so
+    # least(1.0, NULL/100) is 1.0 and an unguarded product would rank a
+    # missing document above every real one (quality >= t filters would
+    # select empties first).
+    quality = F.when(t.isNull(), F.lit(0.0)).otherwise(
+        F.round(
+            F.least(F.lit(1.0), n_tok / F.lit(100.0))
+            * (F.lit(1.0) - punct_ratio),
+            6,
+        )
     )
     return (
         df.withColumn("token_count", n_tok)

@@ -94,14 +94,38 @@ def connected_components(
     eager — the materialization cost dominates, not the extra action.)
     """
     spark = edges.sparkSession
+    # Orient + distinct ONCE, keeping self-loop rows, and checkpoint
+    # before splitting: both the star input and the self-loop probe
+    # then read the materialized checkpoint — deriving self-loops from
+    # the raw `edges` plan instead would re-evaluate the caller's whole
+    # edge-derivation subtree (a union of tier edges in the pipeline)
+    # at the final action.
     # .toDF after every checkpoint: re-aliases the attributes so the
     # self-union/self-join in the star steps never reuses attribute ids
     # from the checkpointed plan (Spark 4.1 otherwise hits
     # "NoSuchElementException: key not found: src#N" when the input
     # lineage contains a window)
-    e = _canonicalize(edges).localCheckpoint(eager=True).toDF("src", "dst")
+    pre = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+        .toDF("src", "dst")
+    )
+    # A node whose ONLY edges are self-loops would otherwise vanish
+    # (self-loops never reach the star rounds); emitted as singletons
+    # at the end, honoring the "every node appearing in `edges`"
+    # contract. Empty in every in-repo caller (pair generators emit
+    # a < b).
+    self_only = pre.where(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("node")
+    )
+    e = pre.where(F.col("src") != F.col("dst")).toDF("src", "dst")
     if e.isEmpty():
-        return spark.createDataFrame([], "node long, component long")
+        return self_only.select("node", F.col("node").alias("component"))
 
     prev_sig = None
     converged = False
@@ -123,4 +147,10 @@ def connected_components(
     # Converged: every edge is (component_min=src, node=dst).
     members = e.select(F.col("dst").alias("node"), F.col("src").alias("component"))
     roots = e.select(F.col("src").alias("node"), F.col("src").alias("component")).distinct()
-    return members.union(roots).distinct()
+    result = members.union(roots).distinct()
+    # self-loop-only nodes not already connected elsewhere -> singletons
+    # (anti-join is empty-fast in the common 0-self-loop case)
+    singles = self_only.join(result, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return result.union(singles)

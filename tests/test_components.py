@@ -66,6 +66,28 @@ def test_cc_empty(spark):
     assert connected_components(df).count() == 0
 
 
+def test_cc_self_loop_only_nodes_are_singletons(spark):
+    """The contract is a row for EVERY node appearing in `edges` — a
+    node whose only edges are self-loops used to vanish (canonicalize
+    drops (u, u) rows before the star rounds). Covers the pure
+    self-loop graph and a mixed graph where one self-loop node also
+    has a real edge (must not be emitted twice)."""
+    df = spark.createDataFrame(
+        pd.DataFrame([(5, 5)], columns=["src", "dst"])
+    )
+    assert [(r["node"], r["component"]) for r in connected_components(df).collect()] == [(5, 5)]
+
+    mixed = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 2), (2, 2), (7, 7)], columns=["src", "dst"]
+        )
+    )
+    got = sorted(
+        (r["node"], r["component"]) for r in connected_components(mixed).collect()
+    )
+    assert got == [(1, 1), (2, 1), (7, 7)]
+
+
 def test_cc_partition_invariance(spark):
     rng = np.random.default_rng(7)
     edges = [(int(a), int(b)) for a, b in rng.integers(0, 300, size=(250, 2)) if a != b]

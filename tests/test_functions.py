@@ -103,6 +103,53 @@ def test_minhash_null_for_empty(spark, docs):
     assert rows[0]["sig"] == rows[1]["sig"]
 
 
+def test_signature_udfs_null_rows_degrade(spark):
+    """A NULL input row (e.g. signatures read back from a checkpoint,
+    or any caller other than shingle_hashes — which emits [] not NULL)
+    must yield NULL output, not a TypeError that kills the stage; NULL
+    ELEMENTS inside an array are dropped."""
+    from deduplication_spark.functions.hashing import (
+        make_minhash_udf,
+        make_simhash_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [11, 22, 33]), (1, None), (2, []), (3, [11, None, 33])],
+        "doc_id long, sh array<bigint>",
+    )
+    mh = make_minhash_udf(16, CFG.hash_seed)
+    sh = make_simhash_udf()
+    rows = (
+        df.select("doc_id", mh("sh").alias("sig"), sh("sh").alias("fp"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert rows[1]["sig"] is None and rows[1]["fp"] is None
+    assert rows[2]["sig"] is None and rows[2]["fp"] is None
+    assert rows[0]["sig"] is not None and len(rows[0]["sig"]) == 16
+    # NULL elements dropped: [11, None, 33] hashes like [11, 33] — a
+    # superset's signature components are <= the subset's (min over
+    # more draws), and the row still yields a full-width signature
+    assert rows[3]["sig"] is not None and len(rows[3]["sig"]) == 16
+
+
+def test_text_features_null_text_not_best_quality(spark):
+    """NULL text must not out-rank real documents: F.least skips NULLs
+    so an unguarded quality_score evaluated to 1.0, and the lang
+    when-chain's NULL comparisons fell through to 'en'. NULL text is
+    quality 0.0 / lang 'und'."""
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = with_text_features(df).orderBy("doc_id").collect()
+    assert rows[1]["quality_score"] == 0.0
+    assert rows[1]["lang_guess"] == "und"
+    assert rows[2]["quality_score"] == 0.0
+    assert rows[0]["quality_score"] > 0.0
+    assert rows[0]["lang_guess"] == "en"
+
+
 def test_simhash_monotone_in_edits(spark):
     base = [f"w{i}" for i in range(200)]
 

@@ -33,29 +33,50 @@ from deduplication_spark.session import get_spark  # noqa: E402
 def _max_rss_kb() -> dict[str, int]:
     """Peak memory, mirroring the reference's /usr/bin/time -v protocol
     (scripts/encode_bench.sh:67-80 records max_rss_kb per run): the
-    driver Python's ru_maxrss plus the local-mode JVM's VmHWM (the JVM
-    is a direct child of this process; in local mode it hosts driver
-    AND executors, so its high-water mark is the number that matters)."""
+    driver Python's ru_maxrss, the local-mode JVM's VmHWM (it hosts
+    driver AND executors), and the pandas-UDF worker fleet. The workers
+    are GRANDchildren (pyspark.daemon forks under the JVM) running
+    python, so a direct-children-named-java scan misses them entirely —
+    for an Arrow/pandas-UDF-heavy pipeline that under-reports peak by
+    however much the worker fleet holds in batch buffers.
+    `python_workers` sums VmHWM over currently-live descendant python
+    processes (workers that already exited are unobservable from /proc
+    — a lower bound, stated as such)."""
     out = {"driver_python": resource.getrusage(resource.RUSAGE_SELF).ru_maxrss}
-    me = str(os.getpid())
-    jvm = 0
+    # one /proc pass: pid -> (ppid, is_java, is_python, vmhwm)
+    info: dict[str, tuple[str, bool, bool, int]] = {}
     for d in os.listdir("/proc"):
         if not d.isdigit():
             continue
         try:
             with open(f"/proc/{d}/status") as f:
                 s = f.read()
-            if f"\nPPid:\t{me}\n" not in s:
-                continue
             with open(f"/proc/{d}/cmdline") as f:
-                if "java" not in f.read():
-                    continue
+                cmd = f.read()
+            ppid = s.split("\nPPid:\t", 1)[1].split("\n", 1)[0]
+            hwm = 0
             for line in s.splitlines():
                 if line.startswith("VmHWM:"):
-                    jvm = max(jvm, int(line.split()[1]))
-        except OSError:
+                    hwm = int(line.split()[1])
+                    break
+            info[d] = (ppid, "java" in cmd, "python" in cmd, hwm)
+        except (OSError, IndexError):
             continue
+    me = str(os.getpid())
+    descendants = set()
+    grew = True
+    while grew:  # transitive closure over the ppid map
+        grew = False
+        for pid, (ppid, *_rest) in info.items():
+            if pid not in descendants and (ppid == me or ppid in descendants):
+                descendants.add(pid)
+                grew = True
+    jvm = max(
+        (info[p][3] for p in descendants if info[p][1]), default=0
+    )
+    workers = sum(info[p][3] for p in descendants if info[p][2] and not info[p][1])
     out["jvm"] = jvm
+    out["python_workers"] = workers
     return out
 
 
@@ -68,12 +89,19 @@ class _SysSampler:
     external tools, negligible overhead."""
 
     def __init__(self, out_path: str):
+        import glob
         import threading
 
         self.out_path = out_path
         self._stop = threading.Event()
         self._rows: list[tuple] = []
         self._thread = threading.Thread(target=self._loop, daemon=True)
+        # devices that are slaves of a layered device (dm-*/md-* over
+        # sd*/nvme*): counting both layers reports every byte twice on
+        # LVM/RAID hosts — count only the top of each stack
+        self._slaves = {
+            os.path.basename(p) for p in glob.glob("/sys/block/*/slaves/*")
+        }
 
     @staticmethod
     def _cpu() -> tuple[int, int]:
@@ -83,8 +111,7 @@ class _SysSampler:
         idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
         return sum(vals), idle
 
-    @staticmethod
-    def _disk() -> tuple[int, int]:
+    def _disk(self) -> tuple[int, int]:
         rd = wr = 0
         with open("/proc/diskstats") as f:
             for line in f:
@@ -98,6 +125,8 @@ class _SysSampler:
                 # after another digit (the kernel partition patterns).
                 name = fld[2]
                 if name.startswith(("loop", "ram")):
+                    continue
+                if name in self._slaves:
                     continue
                 if re.fullmatch(r"(?:[shv]d[a-z]+|xvd[a-z]+)\d+", name) or \
                         re.search(r"\dp\d+$", name):
@@ -135,6 +164,7 @@ class _SysSampler:
         self._stop.set()
         self._thread.join(timeout=3)
         try:
+            os.makedirs(os.path.dirname(self.out_path) or ".", exist_ok=True)
             with open(self.out_path, "w") as f:
                 f.write("elapsed_sec,cpu_busy_frac,disk_read_bps,disk_write_bps\n")
                 for r in self._rows:
@@ -154,7 +184,7 @@ class _SysSampler:
         }
 
 
-def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
+def run(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entry
 
     spark = get_spark(
@@ -183,10 +213,7 @@ def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     # is reported alongside so the noise level is visible per round.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
-    def _median(xs: list[float]) -> float:
-        s = sorted(xs)
-        n = len(s)
-        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    from statistics import median as _median
 
     timings: dict[str, float] = {}
     median: dict[str, float] = {}

@@ -86,6 +86,16 @@ class DedupConfig:
 
     def __post_init__(self) -> None:
         # Param predicate — analog of compressor.c:46-54 width/block checks.
+        if self.num_perm <= 0 or self.bands <= 0 or self.rows_per_band <= 0:
+            # positivity first: the product check alone admits 0*r==0
+            # and (-b)*(-r)==num_perm, and band_key_col would then build
+            # F.sequence(0, bands-1) — for bands=0 a DESCENDING [0, -1]
+            # sequence hashing empty signature slices into two garbage
+            # band keys shared by every doc
+            raise ValueError(
+                f"num_perm/bands/rows_per_band must be positive, got "
+                f"{self.num_perm}/{self.bands}/{self.rows_per_band}"
+            )
         if self.bands * self.rows_per_band != self.num_perm:
             raise ValueError(
                 f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,6 +56,7 @@ class StageStore:
         self.spark = spark
         self.run_dir = run_dir
         self.cfg = cfg
+        self._iolock = threading.Lock()
         os.makedirs(run_dir, exist_ok=True)
         self._pin_config()
 
@@ -73,8 +75,15 @@ class StageStore:
                     f"config; refusing to resume (persisted={persisted})"
                 )
         else:
-            with open(p, "w") as f:
+            # temp + rename: a crash mid-write must not leave a
+            # truncated pin that bricks every future resume with a
+            # spurious ConfigMismatch (the write is the run's header —
+            # compressor.c:30-39 gets the same guarantee from writing
+            # it before any block)
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
                 f.write(self.cfg.to_json())
+            os.replace(tmp, p)
 
     # -- stage tables --------------------------------------------------
     def path(self, name: str) -> str:
@@ -108,11 +117,10 @@ class StageStore:
                     parts.append(
                         {"file": f, "rows": pq.ParquetFile(os.path.join(d, f)).metadata.num_rows}
                     )
-            with open(os.path.join(self.run_dir, "partitions.jsonl"), "a") as fh:
-                fh.write(
-                    json.dumps({"stage": name, "n_files": len(parts), "files": parts})
-                    + "\n"
-                )
+            self._append_line(
+                "partitions.jsonl",
+                json.dumps({"stage": name, "n_files": len(parts), "files": parts}),
+            )
         except Exception as e:  # noqa: BLE001 — metadata-only: a footer
             # parse error (pyarrow ArrowInvalid is NOT an OSError) must
             # never abort a pipeline whose stage data already landed;
@@ -120,6 +128,24 @@ class StageStore:
             import warnings
 
             warnings.warn(f"partition lineage for stage {name!r} skipped: {e}")
+
+    def _append_line(self, filename: str, line: str) -> None:
+        """Serialized single-syscall JSONL append. The pipeline's tier
+        stages write from 4 concurrent driver threads; a buffered
+        text-mode append can split one record (>8 KB happens at ~100
+        part files) across multiple write() calls and interleave with
+        another thread's mid-line — the lock plus one os.write keeps
+        every record intact."""
+        with self._iolock:
+            fd = os.open(
+                os.path.join(self.run_dir, filename),
+                os.O_APPEND | os.O_CREAT | os.O_WRONLY,
+                0o644,
+            )
+            try:
+                os.write(fd, (line + "\n").encode())
+            finally:
+                os.close(fd)
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))
@@ -135,8 +161,7 @@ class StageStore:
             "wall_ms": wall_ms,
             "logged_at": time.time(),
         }
-        with open(os.path.join(self.run_dir, "lineage.jsonl"), "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        self._append_line("lineage.jsonl", json.dumps(rec))
 
     def lineage(self) -> list[dict]:
         p = os.path.join(self.run_dir, "lineage.jsonl")
@@ -160,7 +185,12 @@ class MemoryStore:
         return False
 
     def write(self, name: str, df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=True)
+        # .toDF re-alias after EVERY localCheckpoint: without it a
+        # consumer that self-joins/self-unions the snapshot hits the
+        # Spark 4.1 "key not found: src#N" trap when the input lineage
+        # contains a window (the workaround components.py applies to
+        # its own checkpoints, hoisted to the shared store layer)
+        return df.localCheckpoint(eager=True).toDF(*df.columns)
 
     def read(self, name: str) -> DataFrame:  # pragma: no cover
         raise KeyError(name)

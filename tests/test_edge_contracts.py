@@ -206,3 +206,45 @@ def test_inf_embedding_excluded_from_similarity(spark):
     for r in tk:
         assert r["neighbor_id"] != 2, tk
         assert r["cos_sim"] is not None and not math.isnan(r["cos_sim"])
+
+
+def test_config_rejects_nonpositive_lsh_params():
+    """The bands*rows==num_perm product check alone admits 0*r==0 and
+    (-b)*(-r)==num_perm; band_key_col would then build F.sequence(0, -1)
+    — a DESCENDING 2-element sequence hashing empty signature slices
+    into garbage band keys shared by every doc. Positivity must fail
+    fast at construction."""
+    with pytest.raises(ValueError, match="positive"):
+        DedupConfig(num_perm=0, bands=0, rows_per_band=4)
+    with pytest.raises(ValueError, match="positive"):
+        DedupConfig(num_perm=128, bands=-32, rows_per_band=-4)
+
+
+def test_stage_store_config_pin_is_atomic_and_concurrent_lineage_intact(tmp_path, spark):
+    """A torn run_config.json (crash artifact) must not brick resume —
+    the pin is written via temp+rename so it is either absent or
+    complete; and concurrent lineage/partition appends from tier
+    threads must produce line-intact JSONL."""
+    import json
+    import threading
+
+    from deduplication_spark.io import StageStore
+
+    cfg = DedupConfig()
+    store = StageStore(spark, str(tmp_path / "run"), cfg)
+    assert json.loads(open(tmp_path / "run" / "run_config.json").read()) == json.loads(cfg.to_json())
+    # no stray temp file left behind
+    assert not (tmp_path / "run" / "run_config.json.tmp").exists()
+
+    # hammer the append path from 8 threads; every line must parse
+    def spam(i):
+        for j in range(50):
+            store.log_lineage(f"s{i}", "ok", j, j)
+
+    ts = [threading.Thread(target=spam, args=(i,)) for i in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    lines = open(tmp_path / "run" / "lineage.jsonl").read().splitlines()
+    assert len(lines) == 400
+    for ln in lines:
+        json.loads(ln)

@@ -400,8 +400,16 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot / (nrm(F.col("qv")) * nrm(F.col("v"))), 4).alias("cos_sim"),
+            # try_divide: an all-zero vector must drop out as NULL (and
+            # be filtered below, matching the cosine_topk operator's
+            # rank-slot rule), not raise DIVIDE_BY_ZERO under ANSI and
+            # kill the query; the oracle excludes zero-norm rows with
+            # an explicit norm>0 predicate for the same result
+            F.round(
+                F.try_divide(dot, nrm(F.col("qv")) * nrm(F.col("v"))), 4
+            ).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -425,6 +433,38 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bounded_stream_to_df(
+    spark: SparkSession, writer_df: DataFrame, work: str, cols=None
+) -> DataFrame:
+    """Shared scaffold for the availableNow streaming queries: parquet
+    sink under `work`, await-or-raise (a partial output must never be
+    read as a result), read back, then MATERIALIZE (eager
+    localCheckpoint) and delete `work` — each driver invocation
+    previously leaked a full corpus staging copy + checkpoint + output
+    under /tmp, and the checkpoint detaches the returned frame from
+    the files so cleanup is safe before the caller collects."""
+    import shutil
+
+    out_dir = os.path.join(work, "out")
+    q = (
+        writer_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming query did not finish in 300 s; "
+                           "refusing to read partial output")
+    res = spark.read.parquet(out_dir)
+    if cols:
+        res = res.select(*cols)
+    res = res.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_streaming_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming stateful dedup with a FULL batch oracle:
     stream_dedup_flags (applyInPandasWithState, streaming/incremental.py)
@@ -444,23 +484,13 @@ def q_streaming_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one part file -> one microbatch -> deterministic first-seen
     batch.coalesce(1).write.parquet(src_dir)
     stream = spark.readStream.schema(batch.schema).parquet(src_dir)
-    out_dir = os.path.join(work, "out")
-    q = (
-        # state_timeout_ms=None: bounded run — with a processing-time
-        # timeout the availableNow query never self-terminates
-        stream_dedup_flags(stream, state_timeout_ms=None)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("streaming query did not finish in 300 s; "
-                           "refusing to read partial output")
-    return spark.read.parquet(out_dir).select(
-        "doc_id", "content_hash", "is_duplicate", "canonical_doc_id"
+    # state_timeout_ms=None: bounded run — with a processing-time
+    # timeout the availableNow query never self-terminates
+    return _bounded_stream_to_df(
+        spark,
+        stream_dedup_flags(stream, state_timeout_ms=None),
+        work,
+        cols=["doc_id", "content_hash", "is_duplicate", "canonical_doc_id"],
     )
 
 
@@ -475,14 +505,15 @@ def q_pipeline_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails the row comparison."""
     import tempfile
 
+    import shutil
+
     work = tempfile.mkdtemp(prefix="graft_resume_")
     r1 = dedup(spark, _docs(spark, sf_dir), CFG, run_dir=work, collect_stats=False)
     n1 = len(r1.lineage)
     r2 = dedup(spark, _docs(spark, sf_dir), CFG, run_dir=work, collect_stats=False)
-    return spark.createDataFrame(
-        [(rec["stage"], rec["status"]) for rec in r2.lineage[n1:]],
-        "stage string, status string",
-    )
+    rows = [(rec["stage"], rec["status"]) for rec in r2.lineage[n1:]]
+    shutil.rmtree(work, ignore_errors=True)  # lineage is already local
+    return spark.createDataFrame(rows, "stage string, status string")
 
 
 def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,20 +538,9 @@ def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(work, "src")
     batch.coalesce(1).write.parquet(src_dir)
     stream = spark.readStream.schema(batch.schema).parquet(src_dir)
-    out_dir = os.path.join(work, "out")
-    q = (
-        stream_exact_dedup(stream)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    return _bounded_stream_to_df(
+        spark, stream_exact_dedup(stream), work, cols=["content_hash", "n_chars"]
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("streaming query did not finish in 300 s; "
-                           "refusing to read partial output")
-    return spark.read.parquet(out_dir).select("content_hash", "n_chars")
 
 
 def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -584,9 +604,11 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         resolved_assignments,
     )
 
-    return resolved_assignments(
+    res = resolved_assignments(
         spark, os.path.join(work, "assignments"), os.path.join(work, "merges")
-    )
+    ).localCheckpoint(eager=True)  # detach from work before cleanup
+    shutil.rmtree(work, ignore_errors=True)
+    return res
 
 
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,20 +635,9 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n")
     )
-    out = os.path.join(work, "out")
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("streaming query did not finish in 300 s; "
-                           "refusing to read partial output")
-    return spark.read.parquet(out)
+    # (writeStream's default output mode IS append — the cutoff
+    # semantics the docstring and oracle pin)
+    return _bounded_stream_to_df(spark, agg, work)
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,9 +688,17 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.trim(F.lower("text")), r"\s+")
     n_tok = F.size(toks)
     n_char = F.length("text")
-    pr = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")) / n_char
+    # try_divide is defensive only: every branch that READS pr/sr is
+    # behind n_tok >= 50 (which implies n_char > 0), so a NULL ratio is
+    # unreachable in keep/reason — but an eager ANSI divide must never
+    # be able to kill the query on a zero-length doc
+    pr = F.try_divide(
+        F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")), n_char
+    )
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    sr = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / n_tok
+    sr = F.try_divide(
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))), n_tok
+    )
     keep = (n_tok >= 50) & (n_tok <= 100000) & (pr <= 0.3) & (sr >= 0.05)
     reason = (
         F.when(n_tok < 50, F.lit("too_short"))
@@ -1142,25 +1161,17 @@ def q_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN (random-hyperplane LSH bucket join, no cross
-    join), graduated from rows-only to a derived-invariant oracle
-    (round-4 verdict #1c): WHICH neighbors surface is approximate by
-    construction (recall curve committed in BENCH/ann_recall.json; 1.0
-    at cos >= 0.90 for the default config), but the result SHAPE is
-    exact — per query: at most k neighbors, ranks contiguous from 1,
-    rank order agrees with score order, scores in [-1, 1]. One row per
-    query (left join: a bucket-starved query with zero neighbors still
-    emits its row, vacuously true), booleans computed from the REAL
-    top-k frame Spark-side and pinned TRUE by the oracle."""
-    from deduplication_spark.operators.similarity import lsh_topk
-
-    e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < 10)
-    # dim is inferred inside the bucketing UDF (seeded planes drawn at
-    # the observed width) — no driver-side .first() sniff
-    res = lsh_topk(e, q, k=5, n_tables=8, n_bits=8)
-    per_q = res.groupBy("query_id").agg(
+def _ann_shape_invariants(topk: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Shared derived-invariant projection for the approximate top-k
+    queries (lsh/ivf): per query — at most k neighbors, ranks
+    contiguous from 1, rank order agrees with score order, scores in
+    [-1, 1]. One row per query (left join: a candidate-starved query
+    with zero neighbors still emits its row, vacuously true); booleans
+    computed from the REAL top-k frame Spark-side and pinned TRUE by
+    the oracle. ONE definition so a slack/semantics fix cannot apply
+    to one ANN family and miss the other (the 1e-9 cos slack below had
+    to be patched twice before this was shared)."""
+    per_q = topk.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("_n"),
         F.min("rank").alias("_rmin"),
         F.max("rank").alias("_rmax"),
@@ -1172,11 +1183,11 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.coalesce(F.col("_n"), F.lit(0))
     return (
-        q.select(F.col("vec_id").alias("query_id"))
+        queries.select(F.col("vec_id").alias("query_id"))
         .join(per_q, "query_id", "left")
         .select(
             "query_id",
-            (n <= 5).alias("n_le_k"),
+            (n <= k).alias("n_le_k"),
             (
                 (n == 0)
                 | (
@@ -1200,6 +1211,26 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN (random-hyperplane LSH bucket join, no cross
+    join), graduated from rows-only to a derived-invariant oracle
+    (round-4 verdict #1c): WHICH neighbors surface is approximate by
+    construction (recall curve committed in BENCH/ann_recall.json; 1.0
+    at cos >= 0.90 for the default config), but the result SHAPE is
+    exact — per query: at most k neighbors, ranks contiguous from 1,
+    rank order agrees with score order, scores in [-1, 1]. One row per
+    query (left join: a bucket-starved query with zero neighbors still
+    emits its row, vacuously true), booleans computed from the REAL
+    top-k frame Spark-side and pinned TRUE by the oracle."""
+    from deduplication_spark.operators.similarity import lsh_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10)
+    # dim is inferred inside the bucketing UDF (seeded planes drawn at
+    # the observed width) — no driver-side .first() sniff
+    return _ann_shape_invariants(lsh_topk(e, q, k=5, n_tables=8, n_bits=8), q, 5)
+
+
 def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN #2: IVF-Flat (deterministic sampled+Lloyd coarse
     quantizer, one inverted list per vector, nprobe-list probe join —
@@ -1219,43 +1250,7 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 10)
-    res = ivf_topk(e, q, k=5, n_list=32, nprobe=4)
-    per_q = res.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.min("rank").alias("_rmin"),
-        F.max("rank").alias("_rmax"),
-        F.countDistinct("rank").alias("_rdist"),
-        F.min("cos_sim").alias("_cmin"),
-        F.max("cos_sim").alias("_cmax"),
-        F.min_by("cos_sim", "rank").alias("_c_first"),
-        F.max_by("cos_sim", "rank").alias("_c_last"),
-    )
-    n = F.coalesce(F.col("_n"), F.lit(0))
-    return (
-        q.select(F.col("vec_id").alias("query_id"))
-        .join(per_q, "query_id", "left")
-        .select(
-            "query_id",
-            (n <= 5).alias("n_le_k"),
-            (
-                (n == 0)
-                | (
-                    (F.col("_rmin") == 1)
-                    & (F.col("_rmax") == n)
-                    & (F.col("_rdist") == n)
-                )
-            ).alias("ranks_contiguous"),
-            (
-                # same 1e-9 slack as embedding_ann_lsh: cosine of two
-                # identical vectors can round to 1 + 2e-16
-                (n == 0)
-                | ((F.col("_cmin") >= -1.0 - 1e-9) & (F.col("_cmax") <= 1.0 + 1e-9))
-            ).alias("cos_in_range"),
-            ((n == 0) | (F.col("_c_first") >= F.col("_c_last"))).alias(
-                "rank_order_ok"
-            ),
-        )
-    )
+    return _ann_shape_invariants(ivf_topk(e, q, k=5, n_list=32, nprobe=4), q, 5)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1669,6 +1664,8 @@ def oracle_sql() -> dict[str, str]:
                         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
                      4) AS cos_sim
               FROM q, embeddings e WHERE e.vec_id <> q.query_id
+                AND list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) > 0
+                AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
             )
             SELECT query_id, neighbor_id, cos_sim, rank FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
@@ -1690,15 +1687,27 @@ def oracle_sql() -> dict[str, str]:
                   4) >= 0.40
         """,
         "streaming_dedup_flags": """
+            -- NULL-text docs are their own canonicals (a NULL window
+            -- partition would group them; the stream keeps them
+            -- singletons for batch parity)
             SELECT doc_id, sha256(text) AS content_hash,
-                   doc_id <> min(doc_id) OVER (PARTITION BY sha256(text)) AS is_duplicate,
-                   min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_doc_id
+                   CASE WHEN text IS NULL THEN FALSE
+                        ELSE doc_id <> min(doc_id) OVER w END AS is_duplicate,
+                   CASE WHEN text IS NULL THEN doc_id
+                        ELSE min(doc_id) OVER w END AS canonical_doc_id
             FROM documents
+            WINDOW w AS (PARTITION BY sha256(text))
         """,
         "stream_exact_dedup": """
+            -- NULL-text docs are NOT deduped (DISTINCT would treat
+            -- NULL hashes as equal; the stream keeps them singletons
+            -- for batch parity): one row per missing-text doc
             SELECT DISTINCT sha256(text) AS content_hash, n_chars
-            FROM documents
-        """,
+            FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT NULL AS content_hash, n_chars
+            FROM documents WHERE text IS NULL
+""",
         "simhash_fingerprints": f"""
             -- coalesce(text,''): NULL text has NO fingerprint
             -- Spark-side (has_fp false, not NULL)

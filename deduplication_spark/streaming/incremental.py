@@ -36,12 +36,20 @@ def stream_exact_dedup(
     text_col: str = "text",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """First-arrival-wins exact dedup on a streaming DataFrame."""
-    return (
-        stream.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    """First-arrival-wins exact dedup on a streaming DataFrame.
+
+    NULL-text docs (content_hash NULL) bypass the dedup state and are
+    all emitted: dropDuplicatesWithinWatermark treats NULL keys as
+    EQUAL, which would silently swallow every missing-text doc after
+    the first — the batch exact tier keeps them as singletons
+    (pipeline.py filters NULL hashes), and streaming must match."""
+    hashed = stream.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    deduped = (
+        hashed.filter(F.col("content_hash").isNotNull())
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+    return deduped.unionByName(hashed.filter(F.col("content_hash").isNull()))
 
 
 def stream_dedup_flags(
@@ -78,6 +86,18 @@ def stream_dedup_flags(
     hashed = stream.withColumn(
         "content_hash", F.sha2(F.col(text_col), 256)
     ).select(id_col, "content_hash")
+    # NULL-text docs never enter the stateful path: a NULL group key
+    # would cluster every missing-text doc into one bogus duplicate
+    # group (the batch tier keeps them singletons — same fix the
+    # pipeline's exact tier and the increment prober carry); they are
+    # emitted directly as their own canonicals
+    null_rows = hashed.filter(F.col("content_hash").isNull()).select(
+        F.col(id_col),
+        F.col("content_hash"),
+        F.lit(False).alias("is_duplicate"),
+        F.col(id_col).alias("canonical_doc_id"),
+    )
+    hashed = hashed.filter(F.col("content_hash").isNotNull())
 
     def dedup_group(key, frames, state: GroupState):
         (content_hash,) = key
@@ -108,7 +128,7 @@ def stream_dedup_flags(
             columns=[id_col, "content_hash", "is_duplicate", "canonical_doc_id"],
         )
 
-    return hashed.groupBy("content_hash").applyInPandasWithState(
+    flagged = hashed.groupBy("content_hash").applyInPandasWithState(
         dedup_group,
         outputStructType=(
             f"{id_col} long, content_hash string, "
@@ -122,3 +142,4 @@ def stream_dedup_flags(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+    return flagged.unionByName(null_rows)

@@ -81,3 +81,46 @@ def test_stream_dedup_flags_every_row(spark, stream_dir, tmp_path):
     # canonical is a member of the same hash group and non-duplicate
     canon = out[~out["is_duplicate"]]
     assert (canon["doc_id"] == canon["canonical_doc_id"]).all()
+
+
+def test_stream_null_text_docs_stay_singletons(spark, tmp_path):
+    """Batch parity for missing text: the batch exact tier keeps
+    NULL-text docs as singletons (NULL hashes never group), but
+    dropDuplicatesWithinWatermark treats NULL keys as EQUAL and a NULL
+    group key clusters them — both streaming modes must bypass the
+    dedup state for NULL hashes and emit every such doc."""
+    import datetime
+
+    src_dir = str(tmp_path / "src")
+    ts = datetime.datetime(2025, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["same text", "same text", None, None, "other"],
+            "warc_ts": [ts] * 5,
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    out = _run_stream(
+        spark,
+        stream_exact_dedup(src).select("doc_id", "content_hash"),
+        str(tmp_path / "out1"),
+    )
+    # 1 survivor for "same text", 1 for "other", BOTH NULL-text docs
+    assert len(out) == 4
+    assert out["content_hash"].isna().sum() == 2
+
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    out = _run_stream(
+        spark,
+        stream_dedup_flags(src, state_timeout_ms=None),
+        str(tmp_path / "out2"),
+    )
+    assert len(out) == 5  # every row emitted
+    nulls = out[out["content_hash"].isna()].sort_values("doc_id")
+    assert list(nulls["doc_id"]) == [3, 4]
+    assert not nulls["is_duplicate"].any()
+    assert list(nulls["canonical_doc_id"]) == [3, 4]  # own canonicals

@@ -77,14 +77,24 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A2: per-unique-content stats (the dictionary itself)."""
+    """A1/A2: per-unique-content stats (the dictionary itself).
+
+    Grouped by (content_hash, cluster_id), not content_hash alone:
+    NULL-content docs are singleton clusters (exact_assignments
+    contract), and a hash-only groupBy would merge them back into one
+    bogus NULL row."""
     return (
         exact_assignments(_docs(spark, sf_dir))
-        .groupBy("content_hash")
+        .groupBy("content_hash", "cluster_id")
         .agg(
-            F.min("doc_id").alias("canonical_id"),
             F.count(F.lit(1)).alias("size"),
             (F.count(F.lit(1)) - 1).alias("n_duplicates"),
+        )
+        .select(
+            "content_hash",
+            F.col("cluster_id").alias("canonical_id"),
+            "size",
+            "n_duplicates",
         )
     )
 
@@ -92,17 +102,20 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: the reference's stats line (dict_size / num_blocks,
     src/compressor.c:135-138,202-204)."""
+    # NULL-text docs count as singleton "uniques" (they are their own
+    # canonicals — exact_assignments contract), not as duplicates of
+    # each other: countDistinct skips NULL keys, so they are added back
+    # explicitly (count of NULL-text rows).
+    n_unique = F.countDistinct(F.sha2("text", 256)) + F.count(
+        F.when(F.col("text").isNull(), 1)
+    )
     return _docs(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct(F.sha2("text", 256)).alias("n_unique"),
-        (F.count(F.lit(1)) - F.countDistinct(F.sha2("text", 256))).alias(
-            "n_duplicates"
+        n_unique.alias("n_unique"),
+        (F.count(F.lit(1)) - n_unique).alias("n_duplicates"),
+        F.round(F.lit(1.0) - n_unique / F.count(F.lit(1)), 6).alias(
+            "dup_ratio"
         ),
-        F.round(
-            F.lit(1.0)
-            - F.countDistinct(F.sha2("text", 256)) / F.count(F.lit(1)),
-            6,
-        ).alias("dup_ratio"),
     )
 
 
@@ -110,11 +123,16 @@ def q_canonical_election(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-occurrence ID via window row_number (dictionary.c:75-77)."""
     d = _docs(spark, sf_dir).withColumn("content_hash", F.sha2("text", 256))
     w = Window.partitionBy("content_hash").orderBy("doc_id")
+    # NULL-content docs are each occurrence 1 of their own singleton
+    # (the window would otherwise rank all NULL keys as one group)
+    occ = F.when(F.col("content_hash").isNull(), F.lit(1)).otherwise(
+        F.row_number().over(w)
+    )
     return d.select(
         "doc_id",
         "content_hash",
-        F.row_number().over(w).alias("occurrence"),
-        (F.row_number().over(w) == 1).alias("is_canonical"),
+        occ.alias("occurrence"),
+        (occ == 1).alias("is_canonical"),
     )
 
 
@@ -1442,34 +1460,52 @@ def oracle_sql() -> dict[str, str]:
     min_tok = CFG.min_doc_tokens
     return {
         "exact_dedup": """
+            -- NULL-content docs are singleton canonicals (never grouped
+            -- by their shared NULL hash) — exact_assignments contract
             SELECT doc_id, sha256(text) AS content_hash,
-                   min(doc_id) OVER (PARTITION BY sha256(text)) AS cluster_id,
-                   doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS is_canonical
+                   CASE WHEN text IS NULL THEN doc_id
+                        ELSE min(doc_id) OVER (PARTITION BY sha256(text)) END AS cluster_id,
+                   doc_id = CASE WHEN text IS NULL THEN doc_id
+                                 ELSE min(doc_id) OVER (PARTITION BY sha256(text)) END AS is_canonical
             FROM documents
         """,
         "cluster_sizes": """
-            SELECT sha256(text) AS content_hash,
-                   min(doc_id) AS canonical_id,
+            -- grouped by (hash, cluster) so NULL-content singletons stay
+            -- one row per doc, not one merged NULL row
+            WITH a AS (
+              SELECT doc_id, sha256(text) AS content_hash,
+                     CASE WHEN text IS NULL THEN doc_id
+                          ELSE min(doc_id) OVER (PARTITION BY sha256(text)) END AS cluster_id
+              FROM documents
+            )
+            SELECT content_hash,
+                   cluster_id AS canonical_id,
                    count(*) AS size,
                    count(*) - 1 AS n_duplicates
-            FROM documents GROUP BY sha256(text)
+            FROM a GROUP BY content_hash, cluster_id
         """,
         "dedup_stats": """
+            -- NULL-text docs are singleton uniques, not duplicates of
+            -- each other (count DISTINCT skips NULL keys; add them back)
             SELECT count(*) AS n_docs,
-                   count(DISTINCT sha256(text)) AS n_unique,
-                   count(*) - count(DISTINCT sha256(text)) AS n_duplicates,
-                   round(1.0 - count(DISTINCT sha256(text)) / count(*), 6) AS dup_ratio
+                   count(DISTINCT sha256(text)) + count(*) FILTER (text IS NULL) AS n_unique,
+                   count(*) - count(DISTINCT sha256(text)) - count(*) FILTER (text IS NULL) AS n_duplicates,
+                   round(1.0 - (count(DISTINCT sha256(text)) + count(*) FILTER (text IS NULL)) / count(*), 6) AS dup_ratio
             FROM documents
         """,
         "canonical_election": """
             SELECT doc_id, sha256(text) AS content_hash,
-                   row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS occurrence,
-                   row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1 AS is_canonical
+                   CASE WHEN text IS NULL THEN 1
+                        ELSE row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) END AS occurrence,
+                   CASE WHEN text IS NULL THEN 1
+                        ELSE row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) END = 1 AS is_canonical
             FROM documents
         """,
         "gather_join": """
             WITH a AS (
-              SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS cluster_id
+              SELECT doc_id,
+                     CASE WHEN text IS NULL THEN doc_id
+                          ELSE min(doc_id) OVER (PARTITION BY sha256(text)) END AS cluster_id
               FROM documents
             )
             SELECT a.doc_id, a.cluster_id, c.text AS canonical_text
@@ -1477,7 +1513,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "referential_integrity": """
             WITH a AS (
-              SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS cluster_id
+              SELECT doc_id,
+                     CASE WHEN text IS NULL THEN doc_id
+                          ELSE min(doc_id) OVER (PARTITION BY sha256(text)) END AS cluster_id
               FROM documents
             )
             SELECT doc_id, cluster_id FROM a

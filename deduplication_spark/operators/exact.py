@@ -47,12 +47,25 @@ def exact_assignments(
 
     cluster_id = min(doc_id) over identical content; is_canonical marks the
     cluster representative (the dictionary entry, dictionary.c:61-78).
+
+    A NULL hash (text IS NULL) must not elect duplicates: the window
+    groups NULL keys TOGETHER, so without the guard every missing-text
+    doc would land in one bogus "exact duplicate" cluster. NULL-content
+    docs are their own singleton canonicals — the same contract as the
+    pipeline's exact tier (round-4 fix), the increment probe, and both
+    streaming modes (round-5 fix); this standalone operator was the last
+    surface still NULL-equal-grouping.
     """
     w = Window.partitionBy("content_hash")
     return (
         with_content_hash(docs.select(id_col, text_col), text_col)
         .select(id_col, "content_hash")
-        .withColumn("cluster_id", F.min(id_col).over(w))
+        .withColumn(
+            "cluster_id",
+            F.when(F.col("content_hash").isNull(), F.col(id_col)).otherwise(
+                F.min(id_col).over(w)
+            ),
+        )
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
 

@@ -268,9 +268,26 @@ def dedup(
                 simhash_chunk_buckets(enriched, cfg),
                 ["chunk_idx", "chunk_val"],
                 cap=cfg.bucket_pair_cap,
+                reuse_input=collect_stats,
             )
+            pairs = cand.pairs
+            if collect_stats:
+                # Same dropped-pair accounting contract as the minhash /
+                # substring tiers (via _cand_stage) and the increment's
+                # simhash tier: capped chunk buckets chain-link and DROP
+                # pairs, and that loss must be observable, never silent
+                # (operators/candidates.py invariant). Materialize the
+                # pairs first so the metrics collect and the Hamming
+                # verify share one bucket-derivation pass, then release
+                # the membership cache.
+                pairs = pairs.localCheckpoint(eager=True)
+                m = cand.metrics.collect()[0].asDict()
+                with _mx:
+                    metrics["simhash_candidates"] = m
+                if cand.shared is not None:
+                    cand.shared.unpersist()
             verified = verify_hamming(
-                cand.pairs, enriched.select("doc_id", "simhash"), cfg
+                pairs, enriched.select("doc_id", "simhash"), cfg
             )
             return verified.select("a", "b").withColumn("tier", F.lit("simhash"))
 

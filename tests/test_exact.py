@@ -26,6 +26,30 @@ def test_exact_assignments_basic(spark):
     assert edges == {(10, 12), (10, 14)}
 
 
+def test_null_text_docs_are_singletons(spark):
+    """NULL content hashes must not elect duplicates: the window groups
+    NULL keys together, so without the guard every missing-text doc
+    lands in one bogus "exact duplicate" cluster. Same contract as the
+    pipeline exact tier (round-4 fix) and both streaming modes — this
+    standalone operator was the last NULL-equal-grouping surface."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": ["same", None, "same", None, None],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in exact_assignments(df).collect()}
+    assert rows[2]["cluster_id"] == 0 and not rows[2]["is_canonical"]
+    for null_doc in (1, 3, 4):
+        assert rows[null_doc]["cluster_id"] == null_doc, null_doc
+        assert rows[null_doc]["is_canonical"], null_doc
+    # edges: only the real duplicate pair, never NULL-NULL links
+    edges = {(r["src"], r["dst"]) for r in exact_edges(df).collect()}
+    assert edges == {(0, 2)}
+
+
 def _reference_dedup(samples: np.ndarray, width: int, block_size: int):
     """~20-line pure-Python re-expression of the reference C loop
     (/root/reference/src/compressor.c:105-114 + src/dictionary.c:49-78):

@@ -76,6 +76,21 @@ def test_exact_tier_perfect(corpus, result):
     )
 
 
+def test_every_capped_tier_reports_candidate_accounting(result):
+    """Dropped-pair observability (operators/candidates.py invariant):
+    with collect_stats=True, EVERY tier whose bucket expansion is capped
+    must surface the bucket_pairs accounting — minhash and substring via
+    _cand_stage, simhash inline (it previously discarded the metrics
+    while the identical condition in the other tiers was reported)."""
+    res, _ = result
+    for key in ("minhash_candidates", "substring_candidates", "simhash_candidates"):
+        m = res.metrics[key]
+        assert set(m) >= {
+            "n_buckets", "n_capped_buckets", "n_candidate_edges", "dropped_pairs"
+        }, key
+        assert m["n_buckets"] > 0 and m["dropped_pairs"] >= 0, key
+
+
 def test_resume_reads_back_and_matches(spark, docs, result):
     res, run_dir = result
     res2 = dedup(spark, docs, DedupConfig(), run_dir=run_dir)

@@ -25,6 +25,35 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def resolve_session(app_name: str, cores: int | None):
+    """Session bootstrap shared by the spark-submit entry points
+    (run_pipeline / run_increment): reuse an active session, else build
+    from the submitted conf (never overriding a cluster --master with
+    local[*]), else fall back to the local session factory. Always
+    ships the package to executors (--py-files analog)."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
+        # under spark-submit, Python apps get NO pre-created session
+        # (getActiveSession is None) but the JVM gateway already runs
+        # with spark.master from the submit command (the env var is how
+        # the driver python finds it) — building with .master() here
+        # would silently override a cluster --master with local[*].
+        # Create the session from the submitted conf, then ship the
+        # package.
+        spark = SparkSession.builder.getOrCreate()
+        from deduplication_spark.session import _ship_package
+
+        _ship_package(spark)
+        return spark
+    from deduplication_spark.session import get_spark
+
+    return get_spark(app_name=app_name, cores=cores)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="documents parquet path")
@@ -37,31 +66,10 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None, help="local cores (ignored under spark-submit)")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
-
     from deduplication_spark.config import DedupConfig
     from deduplication_spark.pipeline import dedup
 
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        spark = active
-    elif "PYSPARK_GATEWAY_PORT" in os.environ:
-        # under spark-submit, Python apps get NO pre-created session
-        # (getActiveSession is None) but the JVM gateway already runs
-        # with spark.master from the submit command (the env var is how
-        # the driver python finds it) — building with .master() here
-        # would silently override a cluster --master with local[*].
-        # Create the session from the submitted conf, then ship the
-        # package.
-        spark = SparkSession.builder.getOrCreate()
-        from deduplication_spark.session import _ship_package
-
-        _ship_package(spark)
-    else:
-        from deduplication_spark.session import get_spark
-
-        spark = get_spark(app_name="dedup_pipeline", cores=args.cores)
-
+    spark = resolve_session("dedup_pipeline", args.cores)
     docs = spark.read.parquet(args.input)
     res = dedup(
         spark,

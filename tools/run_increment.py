@@ -20,6 +20,11 @@ Then, per crawl increment:
         --index-out /runs/index_next \
         [--base-docs /data/documents.parquet]   # enables exact verify
         [--tiers exact,minhash[,simhash]]
+        [--config /runs/dedup_full_2026_08_01/run_config.json]
+
+`--config` must match the index's signature config when the index was
+built from a non-default run (the pin raises ConfigMismatch
+otherwise — by design, a drifted config silently zeroes LSH recall).
 
 `--index-out` writes the UPDATED index (base ∪ new memberships) with
 the signature-config fingerprint re-pinned on the minhash column —
@@ -81,6 +86,7 @@ def main() -> None:
     ap_probe.add_argument("--tiers", default="exact,minhash")
     ap_probe.add_argument("--id-col", default="doc_id")
     ap_probe.add_argument("--text-col", default="text")
+    ap_probe.add_argument("--config", default=None, help="DedupConfig JSON file matching the index's signature config (e.g. the originating run's run_config.json); default config otherwise")
     ap_probe.add_argument("--cores", type=int, default=None)
 
     args = ap.parse_args()
@@ -117,6 +123,9 @@ def main() -> None:
         return
 
     cfg = DedupConfig()
+    if args.config:
+        with open(args.config) as f:
+            cfg = DedupConfig.from_json(f.read())
     index = spark.read.parquet(args.index)
     new_docs = spark.read.parquet(args.new)
     base_docs = spark.read.parquet(args.base_docs) if args.base_docs else None

@@ -8,6 +8,7 @@ launch mode):
         --run-dir /runs/dedup_2026_08_16 \
         --output /data/assignments.parquet \
         [--tiers exact,minhash,simhash,substring] [--no-stats]
+        [--config cfg.json]     # DedupConfig JSON (run_config.json format)
 
 Also runnable as plain `python tools/run_pipeline.py ...` (the session
 factory ships the package via addPyFile when spark-submit didn't).
@@ -63,18 +64,23 @@ def main() -> None:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--no-stats", action="store_true")
+    ap.add_argument("--config", default=None, help="DedupConfig JSON file (the run_config.json format); default config otherwise")
     ap.add_argument("--cores", type=int, default=None, help="local cores (ignored under spark-submit)")
     args = ap.parse_args()
 
     from deduplication_spark.config import DedupConfig
     from deduplication_spark.pipeline import dedup
 
+    cfg = DedupConfig()
+    if args.config:
+        with open(args.config) as f:
+            cfg = DedupConfig.from_json(f.read())
     spark = resolve_session("dedup_pipeline", args.cores)
     docs = spark.read.parquet(args.input)
     res = dedup(
         spark,
         docs,
-        DedupConfig(),
+        cfg,
         run_dir=args.run_dir,
         tiers=tuple(t.strip() for t in args.tiers.split(",") if t.strip()),
         id_col=args.id_col,

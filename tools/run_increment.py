@@ -53,7 +53,15 @@ from tools.run_pipeline import resolve_session  # noqa: E402
 
 def _pin_index(index, cfg):
     """Re-stamp the signature-config fingerprint on minhash (metadata
-    survives a parquet round trip; dedup_increment validates it)."""
+    survives a parquet round trip; dedup_increment validates it).
+
+    Stamp-after-guard: this only runs AFTER dedup_increment validated
+    any existing pin against `cfg` in this same process — unlike a
+    pre-guard stamp, it can never launder a drifted config across a
+    restart (the forgery hazard the streaming side's _pin_sig was
+    hardened against in round 5). An index that arrived UNPINNED
+    becomes pinned to this probe's config, locking future probes to
+    the config that extended it here."""
     from pyspark.sql import functions as F
 
     from deduplication_spark.increment import _sig_fingerprint

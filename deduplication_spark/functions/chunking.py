@@ -32,21 +32,38 @@ _WEIGHTS = np.array(
 )
 
 
+# power tables depend only on the constant base — cache and grow by
+# doubling instead of a cumprod + np.full per call (those two were 60%
+# of _prefix_poly wall on ~1 KB-doc batches). Worker processes are
+# single-threaded per task; the rare driver-side concurrent growth is
+# benign (idempotent recompute, atomic reference swap under the GIL).
+_POWS = np.array([1], dtype=np.uint64)          # _POWS[i] = B^i
+_INV_POWS = np.empty(0, dtype=np.uint64)        # _INV_POWS[i] = B^-(i+1)
+
+
+def _grow_pows(n: int) -> None:
+    global _POWS, _INV_POWS
+    if len(_POWS) < n + 1:
+        size = max(n + 1, 2 * len(_POWS))
+        pows = np.empty(size, dtype=np.uint64)
+        pows[0] = 1
+        np.cumprod(np.full(size - 1, _BASE, dtype=np.uint64), out=pows[1:])
+        _POWS = pows
+    if len(_INV_POWS) < n:
+        size = max(n, 2 * max(len(_INV_POWS), 1))
+        inv = np.cumprod(np.full(size, _BASE_INV, dtype=np.uint64))
+        _INV_POWS = inv
+
+
 def _prefix_poly(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """P[i] = sum_{j<i} b[j]*B^(i-1-j) (mod 2^64), and pows[i] = B^i.
 
     Computed without a sequential loop: P[i] = B^i * cumsum(b[j]*B^-(j+1)).
     """
     n = len(b)
-    inv_pows = np.empty(n, dtype=np.uint64)
-    inv_pows[0] = _BASE_INV
-    if n > 1:
-        np.cumprod(np.full(n, _BASE_INV, dtype=np.uint64), out=inv_pows)
-    c = np.cumsum(b * inv_pows, dtype=np.uint64)
-    pows = np.empty(n + 1, dtype=np.uint64)
-    pows[0] = 1
-    if n:
-        np.cumprod(np.full(n, _BASE, dtype=np.uint64), out=pows[1:])
+    _grow_pows(n)
+    pows = _POWS[: n + 1]
+    c = np.cumsum(b * _INV_POWS[:n], dtype=np.uint64)
     P = np.empty(n + 1, dtype=np.uint64)
     P[0] = 0
     P[1:] = c * pows[1:]
@@ -87,6 +104,83 @@ def _anchor_positions(b: np.ndarray, avg_len: int) -> np.ndarray:
     mask = np.uint64(avg_len - 1)
     hits = np.nonzero((h & mask) == 0)[0] + (_WINDOW - 1)
     return hits + 1  # cut points (exclusive end)
+
+
+def cdc_chunks_batch(
+    payloads: list[bytes | None], min_len: int, avg_len: int, max_len: int
+) -> list[list[tuple[int, int, int]] | None]:
+    """Batch form of cdc_chunks — bit-identical output per payload
+    (property-tested against the per-doc reference in
+    tests/test_properties.py), None in → None out.
+
+    Why a separate kernel: web documents are SHORT (~0.5-2 KB), so the
+    per-doc cdc_chunks call is dominated by numpy CALL OVERHEAD (~20
+    array ops on a few-hundred-element array), not by array math — the
+    opposite regime from the minhash segments (~1k shingles) where
+    per-doc blocks win by L2 residency. Here the gear sliding-window
+    matmul and the prefix polynomial run ONCE over the whole
+    concatenated Arrow batch (the _shingle_batch pattern,
+    functions/text.py:57), and per-doc work shrinks to cut selection
+    over its ~len/avg_len anchor hits. Correctness of concatenating
+    WITHOUT separators: a window hash is kept only when the window lies
+    fully inside one doc (global window-end in [off+W-1, off+len-1]),
+    where it equals the doc-local hash; chunk fingerprints are
+    content-only polynomial hashes, so P_global[off+e] -
+    P_global[off+s]*B^(e-s) equals the doc-local value by the prefix
+    identity."""
+    n_docs = len(payloads)
+    out: list[list[tuple[int, int, int]] | None] = [None] * n_docs
+    idx_map = [i for i, p in enumerate(payloads) if p is not None]
+    bufs = [payloads[i] for i in idx_map]
+    lens = np.fromiter((len(b) for b in bufs), np.int64, len(bufs))
+    for i, ln in zip(idx_map, lens):
+        if ln == 0:
+            out[i] = []
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    offs = np.zeros(len(bufs), dtype=np.int64)
+    if len(bufs) > 1:
+        np.cumsum(lens[:-1], out=offs[1:])
+    if total >= _WINDOW:
+        g = _GEAR[buf]
+        win = np.lib.stride_tricks.sliding_window_view(g, _WINDOW)
+        h = win @ _WEIGHTS  # uint64 wraparound matmul
+        mask = np.uint64(avg_len - 1)
+        # global byte index of each anchor window's END
+        ends = np.nonzero((h & mask) == 0)[0] + (_WINDOW - 1)
+    else:
+        ends = np.empty(0, dtype=np.int64)
+    P, pows = _prefix_poly(buf.astype(np.uint64))
+    los = np.searchsorted(ends, offs + _WINDOW - 1, side="left")
+    his = np.searchsorted(ends, offs + lens, side="left")
+    for i, off, ln, lo, hi in zip(idx_map, offs, lens, los, his):
+        off, ln = int(off), int(ln)
+        if ln == 0:
+            continue
+        anchors = ends[lo:hi] - off + 1  # local exclusive-end cuts
+        cuts = [0]
+        prev = 0
+        for a in anchors:
+            a = int(a)
+            while a - prev > max_len:  # forced cut (no anchor in range)
+                prev += max_len
+                cuts.append(prev)
+            if a - prev >= min_len:
+                cuts.append(a)
+                prev = a
+        while ln - prev > max_len:
+            prev += max_len
+            cuts.append(prev)
+        if cuts[-1] != ln:
+            cuts.append(ln)
+        c = np.asarray(cuts, dtype=np.int64)
+        s, e = c[:-1], c[1:]
+        # array ops wrap silently in uint64 — no errstate needed
+        fps = (P[off + e] - P[off + s] * pows[e - s]).view(np.int64)
+        out[i] = list(zip(s.tolist(), (e - s).tolist(), fps.tolist()))
+    return out
 
 
 def cdc_chunks(

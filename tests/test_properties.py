@@ -32,6 +32,7 @@ from hypothesis import strategies as st
 
 from deduplication_spark.functions.chunking import (
     cdc_chunks,
+    cdc_chunks_batch,
     gram_hashes,
     has_common_gram,
 )
@@ -254,6 +255,29 @@ def test_planted_common_gram_detected(gram, pre, post):
     assert has_common_gram(a, b, L)
     ga, gb = gram_hashes(a, L), gram_hashes(b, L)
     assert int(ga[len(pre)]) == int(gb[0])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.binary(min_size=0, max_size=600)),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_cdc_batch_matches_per_doc_reference(payloads):
+    """cdc_chunks_batch (the hot-path kernel: one gear matmul + one
+    prefix-poly per Arrow batch) is BIT-IDENTICAL to the per-doc
+    cdc_chunks reference on every payload, with None passed through —
+    the substring tier's fingerprints must not depend on how rows are
+    packed into batches."""
+    got = cdc_chunks_batch(payloads, 32, 64, 128)
+    assert len(got) == len(payloads)
+    for p, g in zip(payloads, got):
+        if p is None:
+            assert g is None
+        else:
+            assert g == cdc_chunks(p, 32, 64, 128)
 
 
 @settings(max_examples=20, deadline=None)

@@ -33,7 +33,18 @@ class DedupConfig:
     # --- SimHash ---
     simhash_bits: int = 64
     hamming_radius: int = 3
-    simhash_chunks: int = 4     # pigeonhole chunks; radius < chunks required
+    simhash_chunks: int = 4     # pigeonhole chunks; radius < chunks, 64 % chunks
+                                # == 0. Buckets key on every (chunks-radius)-
+                                # subset of chunks (operators/simhash.py).
+                                # MEASURED trade at 1M docs: 4 (=radius+1,
+                                # single 16-bit chunks) -> 35.4M junk candidate
+                                # pairs, 137 s; 8 -> C(8,5)=56 combos of 40-bit
+                                # keys, 58k pairs but 56M windowed membership
+                                # rows, 478 s. 4 is faster while n/2^16 stays
+                                # far under bucket_pair_cap; flip to 8 beyond
+                                # ~10M docs, where 16-bit buckets saturate
+                                # (cap-chained, recall degrades) and the junk
+                                # volume ~n^2/2^17 dwarfs the 56n memberships.
 
     # --- chunk (suffix/substring) tier: content-defined chunking ---
     chunk_min_len: int = 32     # min chunk length (chars)
@@ -104,6 +115,20 @@ class DedupConfig:
         if self.hamming_radius >= self.simhash_chunks:
             raise ValueError(
                 "pigeonhole needs hamming_radius < simhash_chunks"
+            )
+        if self.simhash_bits % self.simhash_chunks != 0:
+            raise ValueError("simhash_chunks must divide simhash_bits")
+        from math import comb
+
+        n_combos = comb(self.simhash_chunks, self.simhash_chunks - self.hamming_radius)
+        if n_combos > 256:
+            # membership rows per doc == n_combos; an accidental
+            # (chunks, radius) pairing like (16, 8) would emit 12870
+            # rows/doc — loud beats a silently 3000x-wider shuffle
+            raise ValueError(
+                f"C(simhash_chunks, simhash_chunks-hamming_radius) = "
+                f"{n_combos} combinatorial bucket keys per doc (max 256); "
+                "use fewer chunks or a smaller radius"
             )
         if self.simhash_bits != 64:
             raise ValueError("only 64-bit SimHash is implemented")

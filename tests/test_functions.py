@@ -198,3 +198,44 @@ def test_token_count_and_features(spark, docs):
     assert rows[0]["lang_guess"] == "en"
     assert rows[0]["fingerprint64"] == rows[1]["fingerprint64"]
     assert rows[0]["fingerprint64"] != rows[2]["fingerprint64"]
+
+
+@pytest.mark.parametrize("chunks", [4, 8])
+def test_simhash_pigeonhole_exact_cover(spark, chunks):
+    """Combinatorial pigeonhole exact cover: EVERY fingerprint pair
+    within hamming_radius shares at least one (chunk_idx, chunk_val)
+    bucket key, for randomized base fingerprints and every radius
+    0..hamming_radius (bit positions randomized too), at BOTH the
+    default small-chunk setting (combos of size 1) and the at-scale
+    8-chunk combinatorial setting. Driven through the real Catalyst
+    key expressions, not a python re-derivation."""
+    import dataclasses
+
+    import numpy as np
+
+    from deduplication_spark.operators.simhash import simhash_chunk_buckets
+
+    cfg = dataclasses.replace(CFG, simhash_chunks=chunks)
+    rng = np.random.default_rng(5)
+    rows = []
+    pair_ids = []
+    nid = 0
+    for trial in range(25):
+        base = int(rng.integers(0, 1 << 63))
+        r = int(rng.integers(0, CFG.hamming_radius + 1))
+        flipped = base
+        for pos in rng.choice(64, size=r, replace=False):
+            flipped ^= 1 << int(pos)
+        rows += [(nid, base), (nid + 1, flipped)]
+        pair_ids.append((nid, nid + 1))
+        nid += 2
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "simhash"])
+    )
+    b = simhash_chunk_buckets(df, cfg).toPandas()
+    keys = {
+        i: set(map(tuple, g[["chunk_idx", "chunk_val"]].values))
+        for i, g in b.groupby("doc_id")
+    }
+    for a_id, b_id in pair_ids:
+        assert keys[a_id] & keys[b_id], (a_id, b_id)

@@ -112,9 +112,11 @@ class DedupConfig:
                 f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
                 f"!= num_perm ({self.num_perm})"
             )
-        if self.hamming_radius >= self.simhash_chunks:
+        if not (0 <= self.hamming_radius < self.simhash_chunks):
+            # a negative radius would make comb() below return 0 and
+            # silently disable the tier (zero bucket keys emitted)
             raise ValueError(
-                "pigeonhole needs hamming_radius < simhash_chunks"
+                "pigeonhole needs 0 <= hamming_radius < simhash_chunks"
             )
         if self.simhash_bits % self.simhash_chunks != 0:
             raise ValueError("simhash_chunks must divide simhash_bits")

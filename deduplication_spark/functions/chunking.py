@@ -37,22 +37,37 @@ _WEIGHTS = np.array(
 # of _prefix_poly wall on ~1 KB-doc batches). Worker processes are
 # single-threaded per task; the rare driver-side concurrent growth is
 # benign (idempotent recompute, atomic reference swap under the GIL).
+# Growth is CAPPED: the tables live for the worker's lifetime, so an
+# occasional huge input must not pin huge tables forever — beyond the
+# cap (2M entries = 16 MB/table) the call computes local tables and
+# the cache stays small.
+_MAX_CACHED = 1 << 21
+_MAX_SLICE_BYTES = 2 << 20   # cdc_chunks_batch concat budget (see below)
 _POWS = np.array([1], dtype=np.uint64)          # _POWS[i] = B^i
 _INV_POWS = np.empty(0, dtype=np.uint64)        # _INV_POWS[i] = B^-(i+1)
 
 
-def _grow_pows(n: int) -> None:
+def _pow_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(pows[:n+1], inv_pows[:n]) — cached up to _MAX_CACHED, computed
+    locally (and not retained) beyond it."""
     global _POWS, _INV_POWS
+    if n + 1 > _MAX_CACHED:
+        pows = np.empty(n + 1, dtype=np.uint64)
+        pows[0] = 1
+        np.cumprod(np.full(n, _BASE, dtype=np.uint64), out=pows[1:])
+        inv = np.cumprod(np.full(n, _BASE_INV, dtype=np.uint64))
+        return pows, inv
     if len(_POWS) < n + 1:
-        size = max(n + 1, 2 * len(_POWS))
+        size = min(max(n + 1, 2 * len(_POWS)), _MAX_CACHED)
         pows = np.empty(size, dtype=np.uint64)
         pows[0] = 1
         np.cumprod(np.full(size - 1, _BASE, dtype=np.uint64), out=pows[1:])
         _POWS = pows
     if len(_INV_POWS) < n:
-        size = max(n, 2 * max(len(_INV_POWS), 1))
+        size = min(max(n, 2 * max(len(_INV_POWS), 1)), _MAX_CACHED)
         inv = np.cumprod(np.full(size, _BASE_INV, dtype=np.uint64))
         _INV_POWS = inv
+    return _POWS[: n + 1], _INV_POWS[:n]
 
 
 def _prefix_poly(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -61,9 +76,8 @@ def _prefix_poly(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     Computed without a sequential loop: P[i] = B^i * cumsum(b[j]*B^-(j+1)).
     """
     n = len(b)
-    _grow_pows(n)
-    pows = _POWS[: n + 1]
-    c = np.cumsum(b * _INV_POWS[:n], dtype=np.uint64)
+    pows, inv_pows = _pow_tables(n)
+    c = np.cumsum(b * inv_pows, dtype=np.uint64)
     P = np.empty(n + 1, dtype=np.uint64)
     P[0] = 0
     P[1:] = c * pows[1:]
@@ -130,6 +144,24 @@ def cdc_chunks_batch(
     identity."""
     n_docs = len(payloads)
     out: list[list[tuple[int, int, int]] | None] = [None] * n_docs
+    # The concatenated working set is ~40-50 bytes of uint64 arrays per
+    # payload byte, and arrow_max_records caps RECORDS, not bytes — a
+    # batch of megabyte documents would otherwise concatenate into a
+    # multi-GB buffer per worker. Byte-bound the concat: greedy slices
+    # of ~2 MB payload (one Arrow batch of ~1 KB web docs fits in a
+    # single slice; an individually oversized doc processes alone, the
+    # same footprint the per-doc reference had for it).
+    total_bytes = sum(len(p) for p in payloads if p is not None)
+    if total_bytes > _MAX_SLICE_BYTES and n_docs > 1:
+        i = 0
+        while i < n_docs:
+            j, acc = i, 0
+            while j < n_docs and (j == i or acc + (len(payloads[j]) if payloads[j] is not None else 0) <= _MAX_SLICE_BYTES):
+                acc += len(payloads[j]) if payloads[j] is not None else 0
+                j += 1
+            out[i:j] = cdc_chunks_batch(payloads[i:j], min_len, avg_len, max_len)
+            i = j
+        return out
     idx_map = [i for i, p in enumerate(payloads) if p is not None]
     bufs = [payloads[i] for i in idx_map]
     lens = np.fromiter((len(b) for b in bufs), np.int64, len(bufs))

@@ -69,6 +69,39 @@ def _sig_fingerprint(cfg: DedupConfig) -> str:
     )
 
 
+def pin_sig_config(index: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Attach the signature-config fingerprint as minhash column
+    metadata (survives parquet round trips; `dedup_increment` validates
+    it before probing). ONE helper for every index-persisting surface —
+    the streaming increment's version writer and the batch CLI's
+    updated-index write — so the pin format cannot drift between them.
+
+    An EXISTING pin is validated, never overwritten (round-4 advice):
+    stamping cfg's fingerprint over an index pinned with a different
+    config would persist a FORGED pin — a later restart would read it
+    back, pass the guard, and let LSH recall collapse silently, the
+    exact failure the pin exists to catch. Raise BEFORE anything is
+    persisted instead."""
+    fp = _sig_fingerprint(cfg)
+    existing = index.schema["minhash"].metadata.get("sig_cfg")
+    if existing is not None and existing != fp:
+        from .io import ConfigMismatch
+
+        raise ConfigMismatch(
+            f"index is pinned to signature config [{existing}] but the "
+            f"current config fingerprints as [{fp}]; refusing to persist "
+            "a re-stamped index"
+        )
+    return index.select(
+        *[
+            F.col(c).alias("minhash", metadata={"sig_cfg": fp})
+            if c == "minhash"
+            else F.col(c)
+            for c in index.columns
+        ]
+    )
+
+
 @dataclass
 class IncrementResult:
     assignments: DataFrame  # new batch: (doc_id, cluster_id, is_canonical)

@@ -65,13 +65,26 @@ def simhash_chunk_buckets(
 
     shiftright on bigint is arithmetic, so every chunk is masked after
     the shift; combined keys use multiply-add (v0*2^w + v1)*2^w + ...,
-    staying within 64 bits since (c-r)*w <= 64."""
+    which needs (c-r)*w <= 63 to stay inside SIGNED bigint — true for
+    every radius >= 1 ((c-r)*w = 64 - r*w <= 64 - w). radius = 0 would
+    hit exactly 64 bits and overflow under ANSI mode, so it short-
+    circuits to the key it mathematically is: the whole fingerprint
+    (Hamming 0 == equality)."""
     from itertools import combinations
 
     c, r = cfg.simhash_chunks, cfg.hamming_radius
     width = 64 // c
     mask = (1 << width) - 1
     sh = F.col("simhash")
+    if r == 0:
+        return (
+            docs_with_simhash.filter(sh.isNotNull())
+            .select(
+                id_col,
+                F.lit(0).alias("chunk_idx"),
+                sh.alias("chunk_val"),
+            )
+        )
     vals = [
         F.shiftright(sh, i * width).bitwiseAND(F.lit(mask)) for i in range(c)
     ]

@@ -84,37 +84,16 @@ def empty_index(
 
 
 def _pin_sig(index: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Attach the signature-config fingerprint as minhash column
-    metadata (survives parquet round trips — the check lives in
-    dedup_increment, increment.py).
+    """Validate-then-stamp the signature-config pin — shared helper
+    (increment.pin_sig_config) so the streaming version writer and the
+    batch CLI can never drift in pin format; an existing mismatched pin
+    raises ConfigMismatch BEFORE anything is persisted (round-4
+    advice: a warm index pinned to a drifted config must not be
+    re-stamped, or a batch-0 restart would pass the guard and let LSH
+    recall collapse silently)."""
+    from ..increment import pin_sig_config
 
-    An EXISTING pin is validated, never overwritten (round-4 advice):
-    stamping cfg's fingerprint over a warm index pinned with a
-    different config would persist a FORGED pin — the first batch
-    would still fail dedup_increment's guard, but the batch=-1 file
-    written here would carry the drifted config's fingerprint, so a
-    restart of batch 0 would read it back, pass the guard, and let
-    LSH recall collapse silently — the exact failure the pin exists
-    to catch. Raise BEFORE anything is persisted instead."""
-    from ..increment import _sig_fingerprint
-
-    fp = _sig_fingerprint(cfg)
-    existing = index.schema["minhash"].metadata.get("sig_cfg")
-    if existing is not None and existing != fp:
-        from ..io import ConfigMismatch
-
-        raise ConfigMismatch(
-            f"warm index is pinned to signature config [{existing}] but the "
-            f"stream was started with [{fp}]; refusing to persist a "
-            "re-stamped index version"
-        )
-    cols = [
-        F.col(c).alias("minhash", metadata={"sig_cfg": fp})
-        if c == "minhash"
-        else F.col(c)
-        for c in index.columns
-    ]
-    return index.select(*cols)
+    return pin_sig_config(index, cfg)
 
 
 @dataclass

@@ -200,8 +200,8 @@ def test_token_count_and_features(spark, docs):
     assert rows[0]["fingerprint64"] != rows[2]["fingerprint64"]
 
 
-@pytest.mark.parametrize("chunks", [4, 8])
-def test_simhash_pigeonhole_exact_cover(spark, chunks):
+@pytest.mark.parametrize("chunks,radius", [(4, 3), (8, 3), (4, 0)])
+def test_simhash_pigeonhole_exact_cover(spark, chunks, radius):
     """Combinatorial pigeonhole exact cover: EVERY fingerprint pair
     within hamming_radius shares at least one (chunk_idx, chunk_val)
     bucket key, for randomized base fingerprints and every radius
@@ -215,17 +215,22 @@ def test_simhash_pigeonhole_exact_cover(spark, chunks):
 
     from deduplication_spark.operators.simhash import simhash_chunk_buckets
 
-    cfg = dataclasses.replace(CFG, simhash_chunks=chunks)
+    cfg = dataclasses.replace(CFG, simhash_chunks=chunks, hamming_radius=radius)
     rng = np.random.default_rng(5)
     rows = []
     pair_ids = []
     nid = 0
     for trial in range(25):
-        base = int(rng.integers(0, 1 << 63))
-        r = int(rng.integers(0, CFG.hamming_radius + 1))
-        flipped = base
+        # full uint64 range viewed as int64: negative fingerprints are
+        # half the real simhash space and exercise the arithmetic-
+        # shiftright sign-extension path the chunk masking handles
+        base_u = rng.integers(0, 1 << 64, dtype=np.uint64)
+        r = int(rng.integers(0, radius + 1))
+        flipped_u = base_u
         for pos in rng.choice(64, size=r, replace=False):
-            flipped ^= 1 << int(pos)
+            flipped_u ^= np.uint64(1) << np.uint64(pos)
+        base = int(base_u.astype(np.int64))
+        flipped = int(flipped_u.astype(np.int64))
         rows += [(nid, base), (nid + 1, flipped)]
         pair_ids.append((nid, nid + 1))
         nid += 2

@@ -295,3 +295,31 @@ def test_cdc_resyncs_on_shared_span(pre_a, pre_b):
     fa = {(ln, fp) for _s, ln, fp in ca}
     fb = {(ln, fp) for _s, ln, fp in cb}
     assert fa & fb, "no shared chunk despite 4 KiB common span"
+
+
+def test_cdc_batch_slicing_and_cache_fallback_parity(monkeypatch):
+    """The byte-bounded slicing path and the beyond-cache power-table
+    fallback (both memory guards for megabyte documents) produce the
+    same bit-identical output as the unsliced/cached path."""
+    import deduplication_spark.functions.chunking as ch
+
+    rng = np.random.default_rng(13)
+    payloads = [
+        rng.integers(0, 256, size=int(n), dtype=np.uint8).tobytes()
+        for n in rng.integers(200, 1500, size=12)
+    ] + [None]
+    ref = ch.cdc_chunks_batch(payloads, 32, 64, 128)
+    # force the greedy slicer (every slice ~1-2 docs)
+    monkeypatch.setattr(ch, "_MAX_SLICE_BYTES", 2000)
+    sliced = ch.cdc_chunks_batch(payloads, 32, 64, 128)
+    assert sliced == ref
+    # force the beyond-cache local power tables
+    monkeypatch.setattr(ch, "_MAX_CACHED", 64)
+    fallback = ch.cdc_chunks_batch(payloads, 32, 64, 128)
+    assert fallback == ref
+    # single oversized payload must not recurse forever
+    monkeypatch.setattr(ch, "_MAX_SLICE_BYTES", 100)
+    one = [rng.integers(0, 256, size=5000, dtype=np.uint8).tobytes()]
+    assert ch.cdc_chunks_batch(one, 32, 64, 128) == [
+        ch.cdc_chunks(one[0], 32, 64, 128)
+    ]

@@ -192,6 +192,8 @@ def main() -> None:
     if args.stage == "prep":
         state["prep"] = prep(args.dir, args.corpus)
     elif args.stage == "run":
+        if not args.base:
+            ap.error("--stage run requires --base")
         state.setdefault("runs", []).append(run_once(args.dir, args.base))
     else:
         runs = state.get("runs", [])

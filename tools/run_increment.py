@@ -51,31 +51,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.run_pipeline import resolve_session  # noqa: E402
 
 
-def _pin_index(index, cfg):
-    """Re-stamp the signature-config fingerprint on minhash (metadata
-    survives a parquet round trip; dedup_increment validates it).
-
-    Stamp-after-guard: this only runs AFTER dedup_increment validated
-    any existing pin against `cfg` in this same process — unlike a
-    pre-guard stamp, it can never launder a drifted config across a
-    restart (the forgery hazard the streaming side's _pin_sig was
-    hardened against in round 5). An index that arrived UNPINNED
-    becomes pinned to this probe's config, locking future probes to
-    the config that extended it here."""
-    from pyspark.sql import functions as F
-
-    from deduplication_spark.increment import _sig_fingerprint
-
-    return index.select(
-        *[
-            F.col(c).alias(c, metadata={"sig_cfg": _sig_fingerprint(cfg)})
-            if c == "minhash"
-            else F.col(c)
-            for c in index.columns
-        ]
-    )
-
-
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="mode", required=True)
@@ -100,7 +75,11 @@ def main() -> None:
     args = ap.parse_args()
 
     from deduplication_spark.config import DedupConfig
-    from deduplication_spark.increment import dedup_increment, index_from_enriched
+    from deduplication_spark.increment import (
+        dedup_increment,
+        index_from_enriched,
+        pin_sig_config,
+    )
     from deduplication_spark.io import StageStore
 
     spark = resolve_session("dedup_increment", args.cores)
@@ -155,7 +134,13 @@ def main() -> None:
             args.assignments_out.rstrip("/") + "_merges"
         )
     if args.index_out:
-        _pin_index(inc.index, cfg).write.mode("overwrite").parquet(args.index_out)
+        # validate-then-stamp (shared pin_sig_config): dedup_increment
+        # already guarded the input pin in this same process, and the
+        # union inside it drops column metadata, so the updated index
+        # must be re-pinned before writing
+        pin_sig_config(inc.index, cfg).write.mode("overwrite").parquet(
+            args.index_out
+        )
     print(
         json.dumps(
             {

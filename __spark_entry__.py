@@ -185,33 +185,6 @@ def q_short_doc_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grams, so the capped jaccard is a tight lower bound in practice.
 _GRAM_DF_CAP = 128
 
-_NGRAM_SPARK_SQL = """
-WITH toks AS (
-  SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS t FROM {docs}
-),
-grams0 AS (
-  SELECT doc_id, explode(array_distinct(
-    transform(sequence(1, size(t) - 4), i -> concat_ws(' ', slice(t, i, 5)))
-  )) AS gs
-  FROM toks WHERE size(t) >= 5
-),
-grams AS (SELECT doc_id, xxhash64(gs) AS g FROM grams0),
-sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) > {cap}),
-kept AS (SELECT grams.* FROM grams LEFT ANTI JOIN hot ON grams.g = hot.g),
-inter AS (
-  SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, count(*) AS c
-  FROM kept x JOIN kept y ON x.g = y.g AND x.doc_id < y.doc_id
-  GROUP BY x.doc_id, y.doc_id
-)
-SELECT doc_id_a, doc_id_b,
-       round(c / (sa.n + sb.n - c), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_id_a
-JOIN sizes sb ON sb.doc_id = doc_id_b
-WHERE c / (sa.n + sb.n - c) >= 0.8
-"""
-
 _NGRAM_DUCK_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
@@ -241,31 +214,66 @@ WHERE c / (sa.n + sb.n - c) >= 0.8
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational n-gram Jaccard (the hash-free ground-truth formulation
-    of the near-dup tier). Scale shape: explode -> DF-cap the hot grams
-    (bounded join buckets, no quadratic blowup) -> equi-join -> count.
+    of the near-dup tier). The DuckDB oracle keeps string grams; the
+    Spark side works on 64-bit gram hashes (result-identical —
+    distinct-gram counts are hash-collision-free at ~n²/2⁶⁵, the same
+    premise the previous xxhash64 formulation and the proven
+    `shingle_hashes` full-count oracle already rely on).
 
-    Two measured plan decisions (A/B on sf0.1, warm JVM, best-of-3):
-    - The scan is repartitioned before the gram explode: the sf file
-      fits one input split, so without it the whole tokenize+explode
-      runs as a single task on a 32-core host.
-    - The sizes/hot CTEs re-derive `grams` (Spark does not materialize
-      CTEs) — but the re-derivations are narrow fused pipelines whose
-      stages run concurrently, and both persist() and carrying the
-      per-doc gram count through the explode measured SLOWER (cache
-      serialization / +16 bytes on every row of the self-join shuffle,
-      the query's dominant exchange). Joining the tiny post-aggregation
-      `sizes` frame twice wins.
-    - Grams enter the self-join as xxhash64 digests, not strings: the
-      dominant exchange carries 16-byte rows instead of ~40-byte gram
-      text (the scale lever; measured neutral at sf0.1 where the join
-      is small, result-identical vs the string join — distinct-gram
-      counts are hash-collision-free at ~n²/2⁶⁵). The DuckDB oracle
-      keeps string grams, proving value parity of the hashed plan.
+    r06 restructure (guide §2.3/§2.4, measured A/B in
+    OPTIMIZATION_r06.md). The old plan derived the tokenize ->
+    array_distinct -> explode gram subtree THREE times (sizes / hot /
+    kept CTEs — all interpreted higher-order functions) and ran the
+    intersection as a gram-key SELF-JOIN (two exchanges of the full
+    gram table + a hot-gram anti-join). Now:
+    - grams come from the batch-vectorized shingle UDF (one numpy pass;
+      same tokenizer by construction — \\s+ byte classes, lowercase,
+      per-doc distinct; the full-value `shingle_hashes` oracle pins its
+      count equality with the SQL tokenizer at every sf), evaluated
+      twice (sizes / memberships) instead of three interpreted passes;
+    - the self-join becomes ONE exchange on the gram key: a window
+      count over the key (the hot-gram DF-cap filter, applied BEFORE
+      any array is collected — bounded memory on boilerplate grams at
+      web scale), then a collect_list + pairwise expansion that reuses
+      the window's partitioning (no second exchange), then a partially-
+      aggregated pair count. Semantics are identical: a gram with m
+      member docs contributes C(m,2) ordered pairs iff 2 <= m <= cap.
+    - per-doc set sizes come from size(shingles) before the explode —
+      no aggregation pass at all; the post-agg join is AQE-broadcast.
     """
-    _docs(spark, sf_dir).repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ).createOrReplaceTempView("__docs_ngram")
-    return spark.sql(_NGRAM_SPARK_SQL.format(docs="__docs_ngram", cap=_GRAM_DF_CAP))
+    from deduplication_spark.operators.candidates import _all_pairs
+
+    shing = (
+        _docs(spark, sf_dir)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .select("doc_id", shingle_hashes("text", 5, CFG.hash_seed).alias("sh"))
+    )
+    sizes = shing.filter(F.size("sh") > 0).select(
+        "doc_id", F.size("sh").alias("n")
+    )
+    grams = shing.select("doc_id", F.explode("sh").alias("g"))
+    w = Window.partitionBy("g")
+    kept = grams.withColumn("m", F.count(F.lit(1)).over(w)).filter(
+        (F.col("m") >= 2) & (F.col("m") <= _GRAM_DF_CAP)
+    )
+    pairs = (
+        kept.groupBy("g")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .select(F.explode(_all_pairs(F.col("_ids"))).alias("p"))
+        .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
+    )
+    inter = pairs.groupBy("doc_id_a", "doc_id_b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("_nb"))
+    j = F.col("c") / (F.col("_na") + F.col("_nb") - F.col("c"))
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .filter(j >= 0.8)
+        .select("doc_id_a", "doc_id_b", F.round(j, 6).alias("jaccard"))
+    )
 
 
 def q_hot_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,8 +305,16 @@ def q_hot_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data text analysis: token/char counts, punctuation and
-    stopword ratios, lexical diversity — all codegen built-ins."""
-    d = _docs(spark, sf_dir)
+    stopword ratios, lexical diversity — all built-in expressions.
+
+    r06: input repartitioned first — the array expressions here are
+    higher-order functions (split/filter/array_distinct), which do NOT
+    whole-stage-codegen and cost real per-row CPU, and the sf documents
+    table is one parquet row group, so without the repartition the
+    whole evaluation ran as a single task on a 32-core host."""
+    d = _docs(spark, sf_dir).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
     toks = F.split(F.trim(F.lower("text")), r"\s+")
     n_tok = F.size(toks)
     n_char = F.length("text")
@@ -399,35 +415,53 @@ def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k=5 for query vectors vec_id < 10 —
     the ANN baseline. Dot/norms as sequential folds over array<double>
-    (same operand order as the oracle; round(4) guards the last ulp)."""
+    (same operand order as the oracle; round(4) guards the last ulp).
+
+    r06 optimization (guide §3.1/§4.4-analog): the old plan streamed
+    the 10-row QUERY side through a BroadcastNestedLoopJoin (broadcast
+    = the full corpus, compute parallelism = 1 task) and — because the
+    cos_sim.isNotNull filter was pushed INTO the join condition — it
+    evaluated the full dot+2-norm fold expression TWICE per pair. Now:
+    norms are computed once per VECTOR before the join (identical
+    sqrt-of-fold arithmetic, so cos values are bit-identical), the
+    zero/NULL-norm rows are dropped per side (exactly the rows whose
+    cos was NULL before — the same norm>0 predicate the oracle uses),
+    the corpus side streams through the join (broadcast = the 10 query
+    rows) after an explicit repartition (the embeddings table is one
+    parquet row group -> single streamed task otherwise), and each
+    surviving pair evaluates ONE dot fold in the projection."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     nrm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # norm > 0 also drops NULL vectors / NULL-norm rows (NULL > 0 is
+    # NULL-false) — the rows try_divide previously nulled out pairwise
+    ev = e.select("vec_id", "v", nrm(F.col("v")).alias("vn")).filter(
+        F.col("vn") > 0
+    )
+    q = ev.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
     sims = (
-        q.crossJoin(e)
+        ev.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            # try_divide: an all-zero vector must drop out as NULL (and
-            # be filtered below, matching the cosine_topk operator's
-            # rank-slot rule), not raise DIVIDE_BY_ZERO under ANSI and
-            # kill the query; the oracle excludes zero-norm rows with
-            # an explicit norm>0 predicate for the same result
-            F.round(
-                F.try_divide(dot, nrm(F.col("qv")) * nrm(F.col("v"))), 4
-            ).alias("cos_sim"),
+            # try_divide retained as ANSI belt-and-braces; the zero
+            # divisor is already impossible after the per-side filters
+            F.round(F.try_divide(dot, F.col("qn") * F.col("vn")), 4).alias(
+                "cos_sim"
+            ),
         )
-        .filter(F.col("cos_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -1078,15 +1112,37 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_shingles doubles as a full-value check (same expression as the
     `shingle_hashes` oracle). Raw signature bytes stay pytest-pinned
     (tests/test_functions.py: determinism + Jaccard-estimator accuracy
-    vs exact Jaccard)."""
-    d = with_minhash(with_shingles(_docs(spark, sf_dir), CFG), CFG)
-    return d.select(
-        "doc_id",
-        F.size("shingles").alias("n_shingles"),
-        # size(NULL) = NULL (non-legacy): 0-iff-short, else num_perm
-        # (coalesced to 0 so the column is never NULL — a nullable int
-        # turns float64 in pandas and breaks the dtype-sensitive hash)
-        F.coalesce(F.size("minhash"), F.lit(0)).alias("n_perm"),
+    vs exact Jaccard).
+
+    r06 optimization (guide §4.1): the projection reads only
+    size(shingles) and size(minhash) — never a signature value — but
+    Catalyst cannot prune columns through the two chained opaque UDFs,
+    so the old plan shipped text -> Python -> shingle arrays -> JVM ->
+    Python -> signature arrays -> JVM (two ArrowEvalPython nodes, all
+    array payloads crossing the boundary) to then take two sizes. The
+    count-only kernel (make_shingle_count_udf, same _shingle_flat
+    kernel — counts bit-identical to size(shingles) by construction)
+    emits the two ints in ONE Arrow pass; n_perm is exactly
+    `num_perm iff n_shingles > 0` (with_minhash contract: NULL
+    signature iff empty shingle set). The input is repartitioned
+    first: the sf documents table is one parquet row group, so the UDF
+    otherwise runs as a single task on a 32-core host (4.16 s -> see
+    OPTIMIZATION_r06.md)."""
+    from deduplication_spark.functions.text import make_shingle_count_udf
+
+    n_sh = make_shingle_count_udf(CFG.shingle_k, CFG.hash_seed)(F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .select("doc_id", n_sh.alias("n_shingles"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.when(F.col("n_shingles") > 0, F.lit(CFG.num_perm))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("n_perm"),
+        )
     )
 
 
@@ -1127,26 +1183,29 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     are computed from the REAL chunk array on the Spark side and
     pinned TRUE by the oracle. Raw fingerprints stay pytest-verified
     (tests/test_chunking.py: offset independence, boundary sync,
-    byte coverage)."""
-    udf = make_chunk_udf(CFG)
-    chunks = F.coalesce(udf(F.col("text")), F.array().cast(_CHUNK_T))
-    lens = F.transform(chunks, lambda c: c["len"].cast("long"))
-    n = F.size(lens)
-    sum_len = F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x)
-    head = F.when(n <= 1, F.array().cast("array<long>")).otherwise(
-        F.slice(lens, 1, n - 1)
-    )
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        sum_len.alias("covered_bytes"),
-        F.forall(lens, lambda x: x <= CFG.chunk_max_len).alias("max_len_ok"),
-        F.forall(head, lambda x: x >= CFG.chunk_min_len).alias(
-            "head_min_len_ok"
-        ),
-        (
-            (n >= F.ceil(sum_len / CFG.chunk_max_len))
-            & (n <= F.floor((sum_len - 1) / CFG.chunk_min_len) + 1)
-        ).alias("n_chunks_bounded"),
+    byte coverage).
+
+    r06 optimization (guide §4.1/§4.2): the geometry booleans are now
+    computed INSIDE the chunk UDF pass (make_chunk_shape_udf) — the old
+    plan shipped the full chunk array back to the JVM and re-evaluated
+    `transform(coalesce(chunks, []))` once per invariant in an
+    interpreted Project (8 traversals/row; HOFs don't codegen). Input
+    repartitioned first (single-row-group parquet -> single-task UDF
+    otherwise)."""
+    from deduplication_spark.operators.substring import make_chunk_shape_udf
+
+    shape = make_chunk_shape_udf(CFG)
+    return (
+        _docs(spark, sf_dir)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .select("doc_id", shape(F.col("text")).alias("_s"))
+        .select(
+            "doc_id",
+            F.col("_s.covered_bytes").alias("covered_bytes"),
+            F.col("_s.max_len_ok").alias("max_len_ok"),
+            F.col("_s.head_min_len_ok").alias("head_min_len_ok"),
+            F.col("_s.n_chunks_bounded").alias("n_chunks_bounded"),
+        )
     )
 
 

@@ -54,10 +54,15 @@ def token_count(text: Column | str) -> Column:
 _SHINGLE_COMBINE = np.uint64(0xFF51AFD7ED558CCD | 1)  # odd
 
 
-def _shingle_batch(
+def _shingle_flat(
     series: pd.Series, k: int, mul: np.uint64, add: np.uint64
-) -> pd.Series:
-    """One Arrow batch of texts -> per-row sorted distinct shingle hashes."""
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """One Arrow batch of texts -> deduped (doc_idx, shingle_hash) arrays.
+
+    Returns (sdoc, sh, n_rows): per-shingle doc index (sorted) and the
+    distinct shingle hashes (uint64), sorted (doc, unsigned hash). The
+    kernel shared by the array-emitting and count-only UDF variants —
+    one implementation so the two can never drift."""
     n_rows = len(series)
     bufs = [
         ("" if t is None else t).lower().encode("utf-8") for t in series
@@ -74,9 +79,9 @@ def _shingle_batch(
     nonws = ~ws
     starts = np.nonzero(nonws & np.concatenate(([True], ws[:-1])))[0]
     ends = np.nonzero(nonws & np.concatenate((ws[1:], [True])))[0] + 1
-    empty = pd.Series([[] for _ in range(n_rows)], dtype=object, index=series.index)
+    _none = np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64), n_rows
     if len(starts) < k:
-        return empty
+        return _none
     tdoc = np.searchsorted(doc_off, starts, side="right") - 1
     P, pows = _prefix_poly(buf.astype(np.uint64))
     th = P[ends] - P[starts] * pows[ends - starts]
@@ -90,14 +95,34 @@ def _shingle_batch(
     valid = tdoc[: len(sh)] == tdoc[k - 1 :]
     sdoc, sh = tdoc[: len(sh)][valid], sh[valid]
     if not len(sh):
-        return empty
+        return _none
     order = np.lexsort((sh, sdoc))
     sdoc, sh = sdoc[order], sh[order]
     keep = np.concatenate(([True], (sdoc[1:] != sdoc[:-1]) | (sh[1:] != sh[:-1])))
-    sdoc, sh = sdoc[keep], sh[keep]
+    return sdoc[keep], sh[keep], n_rows
+
+
+def _shingle_batch(
+    series: pd.Series, k: int, mul: np.uint64, add: np.uint64
+) -> pd.Series:
+    """One Arrow batch of texts -> per-row sorted distinct shingle hashes."""
+    sdoc, sh, n_rows = _shingle_flat(series, k, mul, add)
+    if not len(sh):
+        return pd.Series(
+            [[] for _ in range(n_rows)], dtype=object, index=series.index
+        )
     counts = np.bincount(sdoc, minlength=n_rows)
     parts = np.split(sh.view(np.int64), np.cumsum(counts)[:-1])
     return pd.Series([p.tolist() for p in parts], dtype=object, index=series.index)
+
+
+def _shingle_count_batch(
+    series: pd.Series, k: int, mul: np.uint64, add: np.uint64
+) -> np.ndarray:
+    """Per-row DISTINCT shingle count — the count-only sibling of
+    `_shingle_batch` (same kernel, no per-row list materialization)."""
+    sdoc, _sh, n_rows = _shingle_flat(series, k, mul, add)
+    return np.bincount(sdoc, minlength=n_rows)
 
 
 def shingle_hash_params(seed: int) -> tuple[np.uint64, np.uint64]:
@@ -139,6 +164,32 @@ def shingle_hashes(text: Column | str, k: int, seed: int) -> Column:
     """Column of distinct hashed k-word shingles (see make_shingle_udf)."""
     c = F.col(text) if isinstance(text, str) else text
     return make_shingle_udf(k, seed)(c)
+
+
+def make_shingle_count_udf(k: int, seed: int):
+    """pandas UDF: text -> int DISTINCT-shingle count.
+
+    The column-pruned sibling of make_shingle_udf for consumers that
+    only read `size(shingles)` (e.g. the signature-shape oracle
+    surface): Catalyst cannot prune columns through an opaque UDF
+    (guide §4.1 applied to UDF *outputs*), so a count-only kernel skips
+    the per-row Python list materialization and the array Arrow
+    transfer back to the JVM entirely. Shares `_shingle_flat` with the
+    array variant — counts are bit-identical to size(shingles) by
+    construction."""
+    mul, add = shingle_hash_params(seed)
+
+    @pandas_udf("int")
+    def shingle_count(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        err = np.seterr(over="ignore")
+        try:
+            for series in it:
+                n = _shingle_count_batch(series, k, mul, add)
+                yield pd.Series(n.astype(np.int32), index=series.index)
+        finally:
+            np.seterr(**err)
+
+    return shingle_count
 
 
 # ---------------------------------------------------------------------------

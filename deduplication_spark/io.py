@@ -197,7 +197,13 @@ class MemoryStore:
 
     def log_lineage(self, stage: str, status: str, rows_out: int, wall_ms: int) -> None:
         self._lineage.append(
-            {"stage": stage, "status": status, "rows_out": rows_out, "wall_ms": wall_ms}
+            {
+                "stage": stage,
+                "status": status,
+                "rows_out": rows_out,
+                "wall_ms": wall_ms,
+                "logged_at": time.time(),
+            }
         )
 
     def lineage(self) -> list[dict]:

@@ -127,7 +127,13 @@ def connected_components(
     if e.isEmpty():
         return self_only.select("node", F.col("node").alias("component"))
 
-    prev_sig = None
+    # Seed the convergence probe with the INPUT edge set's signature:
+    # a round that leaves the edges unchanged (graph already a star
+    # forest — the common case when most clusters are duplicate PAIRS)
+    # then converges after ONE round instead of needing a second
+    # confirming round. Same fixpoint criterion, shifted one round
+    # earlier; costs one tiny aggregate on the checkpointed input.
+    prev_sig = _signature(e)
     converged = False
     for i in range(max_iterations):
         e = _small_star(_large_star(e))

@@ -70,6 +70,65 @@ def make_chunk_udf(cfg: DedupConfig):
     return cdc_chunk_fps
 
 
+def make_chunk_shape_udf(cfg: DedupConfig):
+    """pandas UDF: text -> struct<covered_bytes:bigint, max_len_ok:boolean,
+    head_min_len_ok:boolean, n_chunks_bounded:boolean> — the chunk-geometry
+    invariants of q_cdc_chunks computed INSIDE the chunk UDF pass.
+
+    The unfused formulation shipped the full chunk array back to the JVM
+    and then re-evaluated `transform(coalesce(chunks, []))` once per
+    invariant in an interpreted Project (8 traversals/row — higher-order
+    functions don't codegen). Folding the geometry checks into the same
+    Python batch that computes the chunks removes the array Arrow
+    transfer and the interpreted traversals entirely (guide §4.1/§4.2);
+    the arithmetic mirrors the Catalyst expressions exactly:
+    ceil/floor over float division matches Spark's double `/` for any
+    realistic byte length (exact in float64 below 2^53)."""
+    import math
+
+    min_len, avg_len, max_len = cfg.chunk_min_len, cfg.chunk_avg_len, cfg.chunk_max_len
+
+    @pandas_udf(
+        "struct<covered_bytes:bigint,max_len_ok:boolean,"
+        "head_min_len_ok:boolean,n_chunks_bounded:boolean>"
+    )
+    def chunk_shape(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from deduplication_spark.functions.chunking import cdc_chunks_batch
+
+        for series in it:
+            payloads = [
+                t.encode("utf-8") if t is not None else None for t in series
+            ]
+            chunked = cdc_chunks_batch(payloads, min_len, avg_len, max_len)
+            rows = []
+            for chunks in chunked:
+                lens = (
+                    [ln for (_s, ln, _fp) in chunks] if chunks is not None else []
+                )
+                s, n = sum(lens), len(lens)
+                rows.append(
+                    (
+                        s,
+                        all(ln <= max_len for ln in lens),
+                        all(ln >= min_len for ln in lens[:-1]),
+                        n >= math.ceil(s / max_len)
+                        and n <= math.floor((s - 1) / min_len) + 1,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "covered_bytes",
+                    "max_len_ok",
+                    "head_min_len_ok",
+                    "n_chunks_bounded",
+                ],
+                index=series.index,
+            )
+
+    return chunk_shape
+
+
 def chunk_buckets(
     docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

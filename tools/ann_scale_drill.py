@@ -11,7 +11,7 @@ same query set:
 
 - brute  — cosine_topk: crossJoin + interpreted fold. The exact
   baseline; O(N) scored pairs per query.
-- lsh    — lsh_topk (default 8 tables x 12 bits): candidates share a
+- lsh    — lsh_topk (default 16 tables x 8 bits): candidates share a
   sign-LSH bucket in some table; multi-table membership needs a
   distinct exchange.
 - ivf    — ivf_topk (default n_list=32, nprobe=4): candidates share

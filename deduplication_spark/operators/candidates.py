@@ -76,12 +76,21 @@ def bucket_pairs(
     if reuse_input:
         bucketed = bucketed.persist()
     w = Window.partitionBy(*key_cols).orderBy(id_col)
+    # bucket size alongside the rank: both window functions share one
+    # partition+sort pass (same window spec, whole-partition frame for
+    # the count), so filtering singleton buckets costs nothing extra —
+    # and at LSH-like bucket distributions ~95%+ of buckets are
+    # singletons, so dropping them BEFORE the collect_list aggregation
+    # removes almost all of its per-group array allocations (r06,
+    # measured: bucket_pairs over 1.6M memberships 2.15 s -> see
+    # OPTIMIZATION_r06.md)
+    wm = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = bucketed.select(id_col, *key_cols).withColumn(
         "_rn", F.row_number().over(w)
-    )
+    ).withColumn("_m", F.count(F.lit(1)).over(wm))
 
     head = (
-        ranked.filter(F.col("_rn") <= cap)
+        ranked.filter((F.col("_m") >= 2) & (F.col("_rn") <= cap))
         .groupBy(*key_cols)
         .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
     )

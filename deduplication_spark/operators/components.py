@@ -17,31 +17,32 @@ set-difference join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-
-def _canonicalize(edges: DataFrame) -> DataFrame:
-    """Orient (src<dst), drop self-loops and duplicates."""
-    return (
-        edges.select(
-            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-    )
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to
-    min(N(u) ∪ {u})."""
+    min(N(u) ∪ {u}).
+
+    r06 shape (guide §2.4): the neighborhood minimum comes from a
+    window over the SAME exchange that groups the neighbors — the old
+    groupBy+join formulation paid a second pass over the bidirected
+    frame (broadcast build + join stages) for the identical value. The
+    output is NOT deduplicated here: rows may repeat (two sources can
+    emit the same (node, min) edge), orientation is arbitrary, and both
+    are irrelevant — `_small_star` re-orients via greatest/least, its
+    window min is duplicate-insensitive, and its terminal distinct
+    restores set semantics before the per-round checkpoint/signature.
+    Dropping the intermediate canonicalize-distinct removes one full
+    exchange per round. Self-rows cannot appear (dst > src >=
+    least(src, mn)); NULLs are filtered once by the caller's `pre`."""
     bidir = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    mins = bidir.groupBy("src").agg(F.min("dst").alias("mn"))
-    return _canonicalize(
-        bidir.join(mins, "src")
+    w = Window.partitionBy("src")
+    return (
+        bidir.withColumn("mn", F.min("dst").over(w))
         .where(F.col("dst") > F.col("src"))
         .select(
             F.col("dst").alias("src"),
@@ -52,13 +53,17 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient edges larger->smaller; for each node u connect all of its
-    smaller neighbors (and u itself) to the minimum."""
+    smaller neighbors (and u itself) to the minimum. Window-min over
+    one exchange (see _large_star); the self-row branch reads the same
+    windowed frame, and the terminal distinct dedups both branches
+    (including any duplicate rows the large-star pass handed in)."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
     )
-    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
-    attach = oriented.join(mins, "u").select(F.col("v").alias("node"), "m")
-    self_rows = mins.select(F.col("u").alias("node"), "m")
+    w = Window.partitionBy("u")
+    om = oriented.withColumn("m", F.min("v").over(w))
+    attach = om.select(F.col("v").alias("node"), "m")
+    self_rows = om.select(F.col("u").alias("node"), "m")
     return (
         attach.union(self_rows)
         .where(F.col("node") != F.col("m"))

@@ -147,8 +147,15 @@ def minhash_near_edges(
         .union(borderline.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    border_shingles = with_shingles(texts.join(border_ids, id_col), cfg).select(
-        id_col, "shingles"
+    # eager checkpoint (r06): verify_jaccard joins this frame on BOTH
+    # pair sides, and without materialization the whole text-scan +
+    # borderline-join + re-shingle UDF subtree evaluates twice (two
+    # full passes over the corpus text). The frame is tiny (borderline
+    # docs only) — one materialization, two cheap reads.
+    border_shingles = (
+        with_shingles(texts.join(border_ids, id_col), cfg)
+        .select(id_col, "shingles")
+        .localCheckpoint(eager=True)
     )
     verified = verify_jaccard(
         borderline.select("a", "b"),

@@ -31,20 +31,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deduplication_spark.config import DedupConfig
-from deduplication_spark.functions.text import shingle_hashes
 from deduplication_spark.operators.exact import exact_assignments
 from deduplication_spark.operators.minhash_lsh import (
     band_buckets,
     with_minhash,
     with_shingles,
 )
-from deduplication_spark.operators.simhash import with_simhash
-from deduplication_spark.operators.substring import chunk_buckets, make_chunk_udf
 from deduplication_spark.pipeline import dedup
 
 CFG = DedupConfig()
-
-_CHUNK_T = "array<struct<fp:bigint,len:int>>"
 
 _STOPWORDS = "the a of to and in is for on with".split()
 
@@ -241,38 +236,47 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     - per-doc set sizes come from size(shingles) before the explode —
       no aggregation pass at all; the post-agg join is AQE-broadcast.
     """
+    from deduplication_spark.functions.text import gram_rows
     from deduplication_spark.operators.candidates import _all_pairs
 
-    shing = (
-        _docs(spark, sf_dir)
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
-        .select("doc_id", shingle_hashes("text", 5, CFG.hash_seed).alias("sh"))
+    # per-doc set size rides along on every gram row (+4 bytes on the
+    # 16-byte gram exchange) so the kernel evaluates ONCE and the final
+    # sizes joins disappear: the pairwise expansion carries (id, n) for
+    # both members, making (na, nb) functionally dependent on the pair
+    # group key. A struct array sorts lexicographically = by doc_id
+    # (unique first field), so pair orientation a < b is unchanged.
+    grams = gram_rows(
+        _docs(spark, sf_dir).repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+        ),
+        5,
+        CFG.hash_seed,
     )
-    sizes = shing.filter(F.size("sh") > 0).select(
-        "doc_id", F.size("sh").alias("n")
-    )
-    grams = shing.select("doc_id", F.explode("sh").alias("g"))
     w = Window.partitionBy("g")
     kept = grams.withColumn("m", F.count(F.lit(1)).over(w)).filter(
         (F.col("m") >= 2) & (F.col("m") <= _GRAM_DF_CAP)
     )
     pairs = (
         kept.groupBy("g")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "n"))
+            ).alias("_ids")
+        )
         .select(F.explode(_all_pairs(F.col("_ids"))).alias("p"))
-        .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_id_a"),
+            F.col("p.a.n").alias("_na"),
+            F.col("p.b.doc_id").alias("doc_id_b"),
+            F.col("p.b.n").alias("_nb"),
+        )
     )
-    inter = pairs.groupBy("doc_id_a", "doc_id_b").agg(
+    inter = pairs.groupBy("doc_id_a", "_na", "doc_id_b", "_nb").agg(
         F.count(F.lit(1)).alias("c")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("_na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("_nb"))
     j = F.col("c") / (F.col("_na") + F.col("_nb") - F.col("c"))
-    return (
-        inter.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
-        .filter(j >= 0.8)
-        .select("doc_id_a", "doc_id_b", F.round(j, 6).alias("jaccard"))
+    return inter.filter(j >= 0.8).select(
+        "doc_id_a", "doc_id_b", F.round(j, 6).alias("jaccard")
     )
 
 
@@ -1152,9 +1156,22 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     not — simhash is non-null iff the doc yields >= 1 shingle, i.e. has
     >= shingle_k whitespace tokens, which DuckDB recomputes exactly.
     The raw fingerprints remain pytest-verified (monotone-in-edits,
-    tests/test_functions.py)."""
-    d = with_simhash(with_shingles(_docs(spark, sf_dir), CFG))
-    return d.select("doc_id", F.col("simhash").isNotNull().alias("has_fp"))
+    tests/test_functions.py).
+
+    r06: has_fp is exactly `distinct-shingle count > 0` (with_simhash
+    contract: NULL fingerprint iff empty shingle set), so the count-only
+    shingle kernel answers it in ONE Arrow pass — the old chain shipped
+    shingle arrays to Python and back twice to test a NULL. Same
+    column-pruning-through-the-UDF-boundary argument as
+    q_minhash_signatures; repartition for the single-row-group scan."""
+    from deduplication_spark.functions.text import make_shingle_count_udf
+
+    n_sh = make_shingle_count_udf(CFG.shingle_k, CFG.hash_seed)(F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .select("doc_id", (n_sh > 0).alias("has_fp"))
+    )
 
 
 def q_lsh_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1213,15 +1230,21 @@ def q_cdc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC chunker invariant with a FULL oracle: the chunk lengths of
     every doc must sum to exactly its utf-8 byte length (every byte in
     exactly one chunk) — DuckDB computes octet_length independently.
-    F.aggregate keeps a row even for docs whose every chunk is sub-min
-    (explode+filter would drop them)."""
-    udf = make_chunk_udf(CFG)
-    chunks = F.coalesce(udf(F.col("text")), F.array().cast(_CHUNK_T))
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.aggregate(
-            chunks, F.lit(0).cast("long"), lambda acc, c: acc + c["len"]
-        ).alias("covered_bytes"),
+    The in-UDF sum keeps a row even for docs whose every chunk is
+    sub-min (explode+filter would drop them).
+
+    r06: the length sum comes from the chunk-shape UDF (same kernel as
+    q_cdc_chunks) instead of shipping the chunk array to the JVM for an
+    interpreted aggregate fold; repartition for the single-row-group
+    scan."""
+    from deduplication_spark.operators.substring import make_chunk_shape_udf
+
+    shape = make_chunk_shape_udf(CFG)
+    return (
+        _docs(spark, sf_dir)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .select("doc_id", shape(F.col("text")).alias("_s"))
+        .select("doc_id", F.col("_s.covered_bytes").alias("covered_bytes"))
     )
 
 
@@ -1229,12 +1252,18 @@ def q_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 with a FULL oracle: the vectorized shingle UDF's distinct-
     shingle count per doc vs DuckDB's distinct 5-gram count over the
     same \\s+ tokenization (64-bit hash collisions within one doc are
-    ~n^2/2^65 — absent at any test scale)."""
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(
-            shingle_hashes("text", CFG.shingle_k, CFG.hash_seed)
-        ).alias("n_shingles"),
+    ~n^2/2^65 — absent at any test scale).
+
+    r06: count-only kernel (shared _shingle_flat — identical counts by
+    construction) instead of materializing the arrays to take size();
+    repartition for the single-row-group scan."""
+    from deduplication_spark.functions.text import make_shingle_count_udf
+
+    n_sh = make_shingle_count_udf(CFG.shingle_k, CFG.hash_seed)(F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .select("doc_id", n_sh.alias("n_shingles"))
     )
 
 

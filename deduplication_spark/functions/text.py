@@ -166,6 +166,55 @@ def shingle_hashes(text: Column | str, k: int, seed: int) -> Column:
     return make_shingle_udf(k, seed)(c)
 
 
+def gram_rows(df, k: int, seed: int, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, text) frame -> exploded (id, n, g) gram-membership rows via
+    mapInPandas: one row per DISTINCT k-shingle per doc, with the doc's
+    distinct-shingle count n riding along.
+
+    The fan-out sibling of make_shingle_udf for consumers that explode
+    the shingle array anyway (the relational n-gram Jaccard query):
+    emitting columnar numpy arrays straight into the Arrow batch skips
+    the per-row Python list materialization AND the JVM-side explode
+    generator entirely (guide §4.2 — hand whole batches to vectorized
+    code). Shares `_shingle_flat`, so the gram set per doc is
+    bit-identical to explode(shingle_hashes(...))."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    mul, add = shingle_hash_params(seed)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n", IntegerType()),
+            StructField("g", LongType()),
+        ]
+    )
+
+    def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        err = np.seterr(over="ignore")
+        try:
+            for pdf in it:
+                sdoc, sh, n_rows = _shingle_flat(
+                    pdf[text_col], k, mul, add
+                )
+                counts = np.bincount(sdoc, minlength=n_rows)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values[sdoc],
+                        "n": counts[sdoc].astype(np.int32),
+                        "g": sh.view(np.int64),
+                    }
+                )
+        finally:
+            np.seterr(**err)
+
+    return df.select(id_col, text_col).mapInPandas(emit, schema)
+
+
 def make_shingle_count_udf(k: int, seed: int):
     """pandas UDF: text -> int DISTINCT-shingle count.
 

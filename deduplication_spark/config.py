@@ -88,6 +88,17 @@ class DedupConfig:
 
     # --- connected components ---
     cc_max_iterations: int = 50
+    # Per-round lineage truncation mode (r05 verdict #5 / r06):
+    #   "local"    — localCheckpoint: executor-resident, fastest;
+    #                measured optimal in local mode, but NOT
+    #                fault-tolerant — on a real cluster an executor
+    #                loss mid-iteration kills the lineage and the job.
+    #   "reliable" — df.checkpoint() to spark.sparkContext's
+    #                checkpoint dir (caller must setCheckpointDir to
+    #                HDFS/object storage on a cluster): survives
+    #                executor loss at the cost of a write+read per
+    #                round. Identical output (pytest-pinned).
+    cc_checkpoint_mode: str = "local"
 
     # --- execution ---
     shuffle_partitions: int = 32
@@ -144,6 +155,11 @@ class DedupConfig:
             )
         if self.shingle_k <= 0 or self.min_doc_tokens < self.shingle_k:
             raise ValueError("min_doc_tokens must be >= shingle_k > 0")
+        if self.cc_checkpoint_mode not in ("local", "reliable"):
+            raise ValueError(
+                f"cc_checkpoint_mode must be 'local' or 'reliable', "
+                f"got {self.cc_checkpoint_mode!r}"
+            )
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)

@@ -54,7 +54,14 @@ from .operators.components import connected_components
 from .operators.exact import with_content_key
 from .operators.minhash_lsh import band_key_buckets, minhash_near_edges
 
-INDEX_COLS = ("member_id", "cluster_id", "content_hash", "minhash", "simhash")
+INDEX_COLS = (
+    "member_id",
+    "cluster_id",
+    "content_hash",
+    "minhash",
+    "simhash",
+    "band_keys",  # optional precomputed LSH keys (index_from_enriched)
+)
 
 
 def _sig_fingerprint(cfg: DedupConfig) -> str:
@@ -193,7 +200,21 @@ def index_from_enriched(
     When `enriched` carries a `simhash` column (the full pipeline's
     enriched stage does), it is carried into the index (8 bytes/row)
     so `dedup_increment(tiers=(..., "simhash"))` can probe it; an
-    index built without it simply cannot serve the simhash tier."""
+    index built without it simply cannot serve the simhash tier.
+
+    When `cfg` is given the index also gains `band_keys` — the
+    precomputed LSH band keys (array<long>[bands], ~260 bytes/row —
+    r06, guide §2.3/§6): the probe's dominant per-increment cost was
+    re-deriving every member's band keys from the ~1 KB minhash column
+    (full-column read + bands x |index| interpreted slice+hash evals,
+    EVERY increment). Stored once at build time, the probe reads only
+    this 4x-narrower column and explodes. NULL signature -> NULL keys
+    (short docs never enter the LSH tier, as before). The sig_cfg pin
+    already covers every parameter band keys derive from, so a config
+    drift still fails fast before a stale band_keys column could be
+    probed."""
+    from .functions.hashing import band_key_col
+
     minhash_col = (
         F.col("minhash").alias(
             "minhash", metadata={"sig_cfg": _sig_fingerprint(cfg)}
@@ -211,6 +232,20 @@ def index_from_enriched(
         F.col("content_hash"),
         minhash_col,
     ] + ([F.col("simhash")] if has_sim else [])
+    if cfg is not None:
+        # NULL-guarded: xxhash64 SKIPS null arguments, so band_key_col
+        # over a NULL signature would emit identical non-null garbage
+        # keys for every short doc — one giant junk bucket per band.
+        # NULL keys instead; the probe's explode drops them (the same
+        # contract as band_key_buckets' isNotNull filter).
+        out_cols.append(
+            F.when(
+                F.col("minhash").isNotNull(),
+                band_key_col(
+                    "minhash", cfg.rows_per_band, cfg.bands, cfg.hash_seed
+                ),
+            ).alias("band_keys")
+        )
     return (
         enriched.select(*sig_cols)
         .join(assignments.select("doc_id", "cluster_id"), "doc_id")
@@ -303,17 +338,22 @@ def dedup_increment(
     # --- ID contract: every new id above every base member id ----------
     bounds = (
         enriched.agg(F.min("doc_id").alias("lo"), F.count(F.lit(1)).alias("n"))
+        .crossJoin(index.agg(F.max("member_id").alias("hi")))
         .crossJoin(
-            index.agg(
-                F.max("member_id").alias("hi"),
-                # piggy-backed on the same tiny job: an index whose
-                # signatures have a different width than cfg.num_perm
-                # (unpinned legacy index) must fail fast, not probe
+            # legacy-shape guards on a BOUNDED sample (r06): an index
+            # whose signatures have a different width than cfg.num_perm
+            # (unpinned legacy index), or a hex-string content_hash
+            # (64 bytes — would join string==binary against the new
+            # 16-byte key and silently match NOTHING), must fail fast.
+            # Widths/key-shape are uniform per index by construction
+            # (one enrich kernel wrote every row) and the sig_cfg pin
+            # above is the primary guard — scanning the FULL 1 KB/row
+            # minhash column just to take size() cost one whole-index
+            # read per increment, the single biggest base-coupled read
+            # of the probe path.
+            index.limit(1024).agg(
                 F.min(F.size("minhash")).alias("sig_lo"),
                 F.max(F.size("minhash")).alias("sig_hi"),
-                # a legacy index (hex-string content_hash, 64 bytes)
-                # would join string==binary against the new 16-byte
-                # key and silently match NOTHING — catch it here
                 F.max(F.octet_length("content_hash")).alias("ch_len"),
             )
         )
@@ -406,12 +446,23 @@ def dedup_increment(
         # unchanged.
         new_members = band_key_buckets(enriched, cfg)
         touched = new_members.select("band_key").distinct()
-        idx_members = (
-            band_key_buckets(
+        if "band_keys" in index.columns:
+            # precomputed band keys (index_from_enriched, r06): the
+            # probe reads the ~260 B/row band_keys column instead of
+            # re-deriving every key from the ~1 KB minhash column —
+            # a 4x narrower scan and zero per-member hash evals per
+            # increment. explode drops the NULL arrays of short docs.
+            idx_bands = index.select(
+                F.col("member_id").alias("doc_id"),
+                F.explode("band_keys").alias("band_key"),
+            )
+        else:
+            idx_bands = band_key_buckets(
                 index.select(F.col("member_id").alias("doc_id"), "minhash"),
                 cfg,
             )
-            .join(touched, "band_key", "left_semi")
+        idx_members = (
+            idx_bands.join(touched, "band_key", "left_semi")
             # the USING-column join moves band_key to the front; re-pin
             # the column ORDER before the positional union (union is by
             # position — a swapped order would silently feed band keys
@@ -453,8 +504,14 @@ def dedup_increment(
         # the SAME decision procedure as the full pipeline (shared
         # helper — see minhash_near_edges); texts=None decides
         # borderline pairs by the estimate at the threshold (documented
-        # trade in the docstring)
-        near_frames.append(minhash_near_edges(lsh_pairs, sigs, cfg, texts=texts))
+        # trade in the docstring). prefilter_sigs: the index minhash
+        # column is the probe's dominant read — slice it to the pair
+        # ids once instead of streaming it through both estimate joins
+        near_frames.append(
+            minhash_near_edges(
+                lsh_pairs, sigs, cfg, texts=texts, prefilter_sigs=True
+            )
+        )
 
     if "simhash" in tiers:
         # --- tier 3: SimHash pigeonhole, probe-shaped ------------------
@@ -518,6 +575,7 @@ def dedup_increment(
     comp = connected_components(
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         max_iterations=cfg.cc_max_iterations,
+        checkpoint_mode=cfg.cc_checkpoint_mode,
     ).localCheckpoint(eager=True)
 
     assignments = (
@@ -541,6 +599,10 @@ def dedup_increment(
     )
 
     # --- updated index: remap merged base rows, append the new batch ---
+    # index schema is sticky: band_keys (like simhash) is carried iff
+    # the base index has it; appended rows derive theirs from the new
+    # batch's signatures with the same NULL guard as index_from_enriched
+    carry_bands = "band_keys" in index.columns
     sig_tail = ["content_hash", "minhash"] + (["simhash"] if carry_sim else [])
     idx_kept = index.join(
         merges, index.cluster_id == merges.old_cluster_id, "left"
@@ -548,14 +610,27 @@ def dedup_increment(
         "member_id",
         F.coalesce("merged_into", "cluster_id").alias("cluster_id"),
         *sig_tail,
+        *(["band_keys"] if carry_bands else []),
     )
+    new_tail = list(sig_tail)
+    if carry_bands:
+        from .functions.hashing import band_key_col
+
+        new_tail.append(
+            F.when(
+                F.col("minhash").isNotNull(),
+                band_key_col(
+                    "minhash", cfg.rows_per_band, cfg.bands, cfg.hash_seed
+                ),
+            ).alias("band_keys")
+        )
     new_rows = (
         assignments.select("doc_id", "cluster_id")
         .join(enriched, "doc_id")
         .select(
             F.col("doc_id").alias("member_id"),
             "cluster_id",
-            *sig_tail,
+            *new_tail,
         )
     )
     updated_index = idx_kept.union(new_rows)

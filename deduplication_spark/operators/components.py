@@ -83,7 +83,10 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50, check_every: int = 1
+    edges: DataFrame,
+    max_iterations: int = 50,
+    check_every: int = 1,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Returns (node, component) for every node appearing in `edges`,
     component = min node id of the connected component.
@@ -99,6 +102,32 @@ def connected_components(
     eager — the materialization cost dominates, not the extra action.)
     """
     spark = edges.sparkSession
+    # checkpoint_mode (r05 verdict #5): "local" = localCheckpoint
+    # (executor-resident, fastest, NOT fault-tolerant — an executor
+    # loss mid-iteration kills the lineage on a real cluster);
+    # "reliable" = df.checkpoint() to the context's checkpoint dir
+    # (survives executor loss; caller must setCheckpointDir). Output
+    # is identical under both (pytest-pinned).
+    if checkpoint_mode not in ("local", "reliable"):
+        raise ValueError(
+            f"checkpoint_mode must be 'local' or 'reliable', "
+            f"got {checkpoint_mode!r}"
+        )
+    if checkpoint_mode == "reliable":
+        if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+            raise ValueError(
+                "checkpoint_mode='reliable' requires "
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant "
+                "path>) before calling connected_components"
+            )
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     # Orient + distinct ONCE, keeping self-loop rows, and checkpoint
     # before splitting: both the star input and the self-loop probe
     # then read the materialized checkpoint — deriving self-loops from
@@ -117,9 +146,8 @@ def connected_components(
         )
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
-        .toDF("src", "dst")
     )
+    pre = _ckpt(pre).toDF("src", "dst")
     # A node whose ONLY edges are self-loops would otherwise vanish
     # (self-loops never reach the star rounds); emitted as singletons
     # at the end, honoring the "every node appearing in `edges`"
@@ -144,7 +172,7 @@ def connected_components(
         e = _small_star(_large_star(e))
         if (i + 1) % check_every and i != max_iterations - 1:
             continue  # lineage grows ~4 shuffles per skipped check: fine
-        e = e.localCheckpoint(eager=True).toDF("src", "dst")
+        e = _ckpt(e).toDF("src", "dst")
         sig = _signature(e)
         if sig == prev_sig:
             converged = True

@@ -103,6 +103,7 @@ def minhash_near_edges(
     cfg: DedupConfig,
     texts: DataFrame | None = None,
     id_col: str = "doc_id",
+    prefilter_sigs: bool = False,
 ) -> DataFrame:
     """Estimate-screen + verify candidate pairs -> (a, b) near edges.
 
@@ -124,7 +125,28 @@ def minhash_near_edges(
     `signatures` = (id_col, minhash); `texts` = (id_col, text) —
     shingles are recomputed for the borderline DOCS only (storing them
     corpus-wide costs ~7 KB/row, rivaling the corpus itself).
+
+    `prefilter_sigs=True` (r06, the increment's probe path): when the
+    signature table is a LARGE stored index (~1 KB of minhash per row),
+    the two estimate joins would each stream the full table against the
+    broadcast pair set — twice the index's dominant column per
+    increment. Materialize the pairs, semi-join the signature table
+    down to just the ids the pairs touch (ONE index scan), checkpoint
+    that small slice, and let both estimate joins read the slice.
+    Result-identical (the joins only ever read those ids); off by
+    default because the full pipeline's signature frame is already a
+    small in-memory checkpoint where the extra pass is pure overhead.
     """
+    if prefilter_sigs:
+        pairs = pairs.localCheckpoint(eager=True)
+        ids = (
+            pairs.select(F.col("a").alias(id_col))
+            .union(pairs.select(F.col("b").alias(id_col)))
+            .distinct()
+        )
+        signatures = signatures.join(
+            ids, id_col, "left_semi"
+        ).localCheckpoint(eager=True)
     screened = estimate_prefilter(
         pairs,
         signatures,

@@ -398,6 +398,7 @@ def dedup(
         comp = connected_components(
             edges.select(F.col("a").alias("src"), F.col("b").alias("dst")),
             max_iterations=cfg.cc_max_iterations,
+            checkpoint_mode=cfg.cc_checkpoint_mode,
         )
         return (
             base.select("doc_id")

@@ -98,3 +98,36 @@ def test_cc_partition_invariance(spark):
     r1 = sorted((r["node"], r["component"]) for r in connected_components(df1).collect())
     r2 = sorted((r["node"], r["component"]) for r in connected_components(df2).collect())
     assert r1 == r2
+
+
+def test_cc_reliable_checkpoint_mode_identical(spark, tmp_path):
+    """cc_checkpoint_mode='reliable' (r05 verdict #5): df.checkpoint()
+    per round instead of localCheckpoint — survives executor loss on a
+    real cluster. Output must be IDENTICAL to local mode; calling it
+    without a checkpoint dir must fail loudly, not crash opaquely."""
+    import pytest
+
+    rng = np.random.default_rng(11)
+    edges = [
+        (int(a), int(b)) for a, b in rng.integers(0, 200, size=(150, 2)) if a != b
+    ]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+
+    local = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(df, checkpoint_mode="local").collect()
+    )
+
+    had_dir = not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty()
+    if not had_dir:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            connected_components(df, checkpoint_mode="reliable")
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    reliable = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(df, checkpoint_mode="reliable").collect()
+    )
+    assert local == reliable
+
+    with pytest.raises(ValueError, match="checkpoint_mode"):
+        connected_components(df, checkpoint_mode="bogus")

@@ -149,8 +149,16 @@ def make_enrich_udf(num_perm: int, seed: int, shingle_k: int):
     traffic — and exact verification needs them only for the borderline
     sliver of candidate pairs, for which the pipeline recomputes them
     on demand (see pipeline.build_minhash).
+
+    r06: the segment layout comes straight from `_shingle_flat` —
+    the previous chain materialized per-row Python shingle LISTS
+    (_shingle_batch) only for _segments to concatenate them back into
+    the flat array _shingle_flat had already produced (one list build
+    + one np.asarray per document, pure round-trip waste inside the
+    fused path). Signature values are bit-identical: same kernel, same
+    flat array, same ordering.
     """
-    from .text import _shingle_batch, shingle_hash_params
+    from .text import _shingle_flat, shingle_hash_params
 
     mul, add = shingle_hash_params(seed)
     a_all, b_all = _perm_params(num_perm, seed)
@@ -160,8 +168,13 @@ def make_enrich_udf(num_perm: int, seed: int, shingle_k: int):
         err = np.seterr(over="ignore")
         try:
             for series in it:
-                sh = _shingle_batch(series, shingle_k, mul, add)
-                flat, offsets, lengths = _segments(sh)
+                sdoc, flat, n_rows = _shingle_flat(
+                    series, shingle_k, mul, add
+                )
+                lengths = np.bincount(sdoc, minlength=n_rows)
+                offsets = np.zeros(n_rows, dtype=np.int64)
+                if n_rows > 1:
+                    np.cumsum(lengths[:-1], out=offsets[1:])
                 sig, ne = _minhash_kernel(
                     flat, offsets, lengths, a_all, b_all, num_perm
                 )
@@ -172,13 +185,13 @@ def make_enrich_udf(num_perm: int, seed: int, shingle_k: int):
                         "minhash": pd.Series(
                             [
                                 sig64[i].tolist() if ne[i] else None
-                                for i in range(len(sh))
+                                for i in range(n_rows)
                             ],
                             dtype=object,
                             index=series.index,
                         ),
                         "simhash": pd.Series(
-                            [int(fp[i]) if ne[i] else None for i in range(len(sh))],
+                            [int(fp[i]) if ne[i] else None for i in range(n_rows)],
                             dtype=object,
                             index=series.index,
                         ),

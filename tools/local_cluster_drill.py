@@ -12,8 +12,8 @@ Protocol (mirrors tools/scaling_bench.py: fresh subprocess per level,
 same corpus, same shuffle partitioning, best-of-N, noop sink):
 
   levels:  local[8]                 - 8 cores, 1 JVM (the baseline mode)
-           local-cluster[2,4,4096]  - 8 cores, 2 executor JVMs
-           local-cluster[8,4,4096]  - 32 cores, 8 executor JVMs
+           local-cluster[2,4,8192]  - 8 cores, 2 executor JVMs
+           local-cluster[8,4,8192]  - 32 cores, 8 executor JVMs
 
   parity    = wall(local-cluster 8 cores) / wall(local[8])
               (process-boundary + network-shuffle overhead factor)
@@ -41,8 +41,8 @@ sys.path.insert(0, REPO)
 
 LEVELS = {
     "local[8]": 8,
-    "local-cluster[2,4,4096]": 8,
-    "local-cluster[8,4,4096]": 32,
+    "local-cluster[2,4,8192]": 8,
+    "local-cluster[8,4,8192]": 32,
 }
 
 
@@ -120,8 +120,8 @@ def main() -> None:
     clusters = {r["n_clusters"] for r in results.values()}
     assert len(clusters) == 1, f"output mismatch across masters: {results}"
 
-    lc2 = results["local-cluster[2,4,4096]"]
-    lc8 = results["local-cluster[8,4,4096]"]
+    lc2 = results["local-cluster[2,4,8192]"]
+    lc8 = results["local-cluster[8,4,8192]"]
     l8 = results["local[8]"]
     eff = (lc8["docs_per_sec"] / lc2["docs_per_sec"]) / 4
     summary = {

@@ -46,6 +46,21 @@ class DedupConfig:
                                 # (cap-chained, recall degrades) and the junk
                                 # volume ~n^2/2^17 dwarfs the 56n memberships.
 
+    # Auto-flip rule (r05 verdict #4, r06): at n/2^16 ~ cap the 16-bit
+    # single-chunk buckets saturate — the all-pairs expansion goes
+    # ~quadratic (n^2*c/2^17 junk pairs) while capped chains start
+    # dropping real pairs. Corpora with >= this many docs use
+    # simhash_chunks = 8 (C(8,5) = 56 combinatorial 40-bit keys:
+    # membership volume 56n, junk ~n^2*56/2^41). The rule is a pure
+    # function of (config, corpus size), so a resume re-derives the
+    # same effective setting; the verified EDGE SET is unchanged
+    # wherever no cap engages (both settings are exact covers at the
+    # same Hamming radius). 0 disables the flip. The 2M default puts
+    # the flip where expected bucket occupancy (2M/2^16 ~ 31) makes
+    # the quadratic term ~C(31,2)*2^16 ~ 30M junk pairs — past the
+    # measured 1M trade point, well before the 10M saturation.
+    simhash_auto_chunks_from: int = 2_000_000
+
     # --- chunk (suffix/substring) tier: content-defined chunking ---
     chunk_min_len: int = 32     # min chunk length (chars)
     chunk_avg_len: int = 128    # anchor density ~ 1/avg; POWER OF TWO
@@ -160,6 +175,30 @@ class DedupConfig:
                 f"cc_checkpoint_mode must be 'local' or 'reliable', "
                 f"got {self.cc_checkpoint_mode!r}"
             )
+        if self.simhash_auto_chunks_from < 0:
+            raise ValueError("simhash_auto_chunks_from must be >= 0")
+        if self.simhash_auto_chunks_from:
+            # the flipped setting must itself be a valid pigeonhole
+            # config, or the flip would crash mid-run on a big corpus
+            if not (0 <= self.hamming_radius < 8) or 64 % 8:
+                raise ValueError(
+                    "simhash auto-flip targets simhash_chunks=8; "
+                    "hamming_radius must be < 8"
+                )
+
+    def effective_simhash_chunks(self, n_docs: int) -> int:
+        """The pigeonhole chunk count actually used for a corpus of
+        `n_docs` documents — `simhash_chunks` below the auto-flip
+        threshold, 8 at or above it (see simhash_auto_chunks_from).
+        Deterministic in (config, corpus size): a resume or re-run of
+        the same corpus derives the same setting."""
+        if (
+            self.simhash_auto_chunks_from
+            and n_docs >= self.simhash_auto_chunks_from
+            and self.simhash_chunks < 8
+        ):
+            return 8
+        return self.simhash_chunks
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)

@@ -296,8 +296,21 @@ def dedup(
 
     def run_simhash() -> DataFrame:
         def build_simhash() -> DataFrame:
+            # pigeonhole auto-flip (config rule, r05 verdict #4): at
+            # >= simhash_auto_chunks_from docs the 16-bit single-chunk
+            # buckets saturate; flip to the 8-chunk combinatorial keys.
+            # Corpus size comes from the already-running id-uniqueness
+            # guard job — no extra action. Edge set unchanged wherever
+            # no cap engages (both settings are exact covers at the
+            # same radius; pytest-pinned).
+            c_eff = cfg.effective_simhash_chunks(guard_future.result())
+            cfg_sim = (
+                replace(cfg, simhash_chunks=c_eff)
+                if c_eff != cfg.simhash_chunks
+                else cfg
+            )
             cand = bucket_pairs(
-                simhash_chunk_buckets(enriched, cfg),
+                simhash_chunk_buckets(enriched, cfg_sim),
                 ["chunk_idx", "chunk_val"],
                 cap=cfg.bucket_pair_cap,
                 reuse_input=collect_stats,
@@ -359,17 +372,22 @@ def dedup(
         # so the probe overlaps tier work instead of serializing the
         # critical path; its result is awaited with the tier futures
         # below, so a violation still fails the run loudly.
-        def _dup_id_guard() -> None:
-            c = enriched.agg(
-                (F.count(F.lit(1)) - F.count_distinct(F.col("doc_id"))).alias("d")
-            ).first()["d"]
-            if c:
+        def _dup_id_guard() -> int:
+            row = enriched.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.col("doc_id")).alias("d"),
+            ).first()
+            if row["n"] != row["d"]:
                 raise ValueError(
-                    f"{c} duplicate doc_id value(s) in the input corpus; "
-                    "doc_id must be unique (cluster ids ARE doc ids — a "
-                    "duplicated id merges unrelated rows silently)"
+                    f"{row['n'] - row['d']} duplicate doc_id value(s) in "
+                    "the input corpus; doc_id must be unique (cluster ids "
+                    "ARE doc ids — a duplicated id merges unrelated rows "
+                    "silently)"
                 )
+            return row["n"]
 
+        # doubles as the corpus-size probe for the simhash pigeonhole
+        # auto-flip (config.effective_simhash_chunks) — zero extra jobs
         guard_future = pool.submit(_dup_id_guard)
 
         sig_runners = {

@@ -215,3 +215,49 @@ def test_singletons_self_clustered(spark):
     res = dedup(spark, docs, DedupConfig())
     rows = {r["doc_id"]: r for r in res.assignments.collect()}
     assert all(rows[i]["cluster_id"] == i and rows[i]["is_canonical"] for i in (1, 2, 3))
+
+
+def test_simhash_auto_chunk_flip_rule_and_edge_equivalence(spark):
+    """r05 verdict #4: the pigeonhole chunk count auto-flips to 8 at
+    simhash_auto_chunks_from docs. (a) The rule itself is a pure
+    function of (config, corpus size); (b) the 4-chunk and 8-chunk
+    settings produce IDENTICAL verified edge sets when no cap engages
+    (both are exact covers at the same Hamming radius), so the flip
+    never changes what the pipeline computes — only how many junk
+    candidates it wades through."""
+    from deduplication_spark.operators.candidates import bucket_pairs
+    from deduplication_spark.operators.minhash_lsh import with_shingles
+    from deduplication_spark.operators.simhash import (
+        simhash_chunk_buckets,
+        verify_hamming,
+        with_simhash,
+    )
+
+    cfg = DedupConfig()
+    assert cfg.effective_simhash_chunks(10_000) == cfg.simhash_chunks
+    assert cfg.effective_simhash_chunks(cfg.simhash_auto_chunks_from) == 8
+    assert cfg.effective_simhash_chunks(50_000_000) == 8
+    off = DedupConfig(simhash_auto_chunks_from=0)
+    assert off.effective_simhash_chunks(50_000_000) == off.simhash_chunks
+
+    corpus = generate_corpus(400, seed=77, with_jaccard=False)
+    docs = spark.createDataFrame(corpus.documents[["doc_id", "text"]])
+    enriched = with_simhash(with_shingles(docs, cfg)).select(
+        "doc_id", "simhash"
+    ).localCheckpoint(eager=True)
+
+    def edges(chunks: int) -> set:
+        from dataclasses import replace
+
+        c = replace(cfg, simhash_chunks=chunks)
+        cand = bucket_pairs(
+            simhash_chunk_buckets(enriched, c),
+            ["chunk_idx", "chunk_val"],
+            cap=c.bucket_pair_cap,
+        )
+        return {
+            (r["a"], r["b"])
+            for r in verify_hamming(cand.pairs, enriched, c).collect()
+        }
+
+    assert edges(4) == edges(8)

@@ -51,9 +51,19 @@ def worker(corpus_dir: str, master: str) -> None:
     from deduplication_spark.pipeline import dedup
     from deduplication_spark.session import get_spark
 
-    # same shuffle partitioning at every level (scaling_bench protocol)
+    # same shuffle partitioning at every level (scaling_bench protocol).
+    # local-cluster gotcha: the master string's MB figure is the
+    # WORKER's advertised memory; executors still launch with
+    # spark.executor.memory (default 1g) — without the explicit
+    # setting every executor OOMed at 1 GiB (exit code 52, guide §7.4)
+    extra = (
+        {"spark.executor.memory": "6g"} if "local-cluster" in master else {}
+    )
     spark = get_spark(
-        app_name=f"lc_drill_{master}", master=master, shuffle_partitions=64
+        app_name=f"lc_drill_{master}",
+        master=master,
+        shuffle_partitions=64,
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))

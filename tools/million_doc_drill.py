@@ -124,7 +124,14 @@ def _max_rss_kb() -> dict:
 
 
 def run_once(state_dir: str, n_docs: int) -> dict:
-    spark = get_spark(app_name="million_doc_drill")
+    # driver-memory override for the 10M-doc variant (the local-mode
+    # JVM hosts driver AND executors; the 8g default that fits 1M docs
+    # is tight at 10x the checkpoint/shuffle volume)
+    mem = os.environ.get("GRAFT_DRIVER_MEM")
+    spark = get_spark(
+        app_name="million_doc_drill",
+        extra_conf={"spark.driver.memory": mem} if mem else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(os.path.join(state_dir, "documents.parquet"))
     t0 = time.time()

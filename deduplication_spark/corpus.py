@@ -246,11 +246,19 @@ def write_corpus(corpus: SyntheticCorpus, out_dir: str) -> None:
     p.mkdir(parents=True, exist_ok=True)
     # Spark cannot read pandas' default nanosecond parquet timestamps —
     # coerce to microseconds.
+    # Bounded row groups (r06): pandas' default writes ONE row group,
+    # which caps every Spark scan of the file at one task regardless of
+    # split config — a serial floor that silently dominated the scaling
+    # drills on the optimized tree (parquet splits cannot cross row
+    # groups). ~8k rows/group keeps even a 240k-doc corpus at 30+
+    # scan-parallel units while staying far above tiny-row-group
+    # overhead; real 100 TB corpora are many files and never hit this.
     corpus.documents.to_parquet(
         p / "documents.parquet",
         index=False,
         coerce_timestamps="us",
         allow_truncated_timestamps=True,
+        row_group_size=8192,
     )
     corpus.truth_pairs.to_parquet(p / "truth_pairs.parquet", index=False)
     corpus.truth_clusters.to_parquet(p / "truth_clusters.parquet", index=False)

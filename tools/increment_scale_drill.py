@@ -75,7 +75,7 @@ def prep(state_dir: str, corpus_path: str) -> dict:
         os.makedirs(bdir, exist_ok=True)
         base_pdf = full if limit is None else full.iloc[:limit]
         base_path = os.path.join(bdir, "documents.parquet")
-        base_pdf.to_parquet(base_path, index=False)
+        base_pdf.to_parquet(base_path, index=False, row_group_size=65536)
 
         t0 = time.time()
         docs = spark.read.parquet(base_path)

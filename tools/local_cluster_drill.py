@@ -102,8 +102,14 @@ def main() -> None:
         write_corpus(generate_corpus(n_docs, with_jaccard=False), corpus_dir)
 
     repeats = int(os.environ.get("SCALING_REPEATS", "3"))
+    # GRAFT_LC_LEVELS: semicolon-separated subset of LEVELS (e.g. just the
+    # two local-cluster sizes for a long-corpus efficiency pair)
+    sel = os.environ.get("GRAFT_LC_LEVELS")
+    levels = (
+        {m: LEVELS[m] for m in sel.split(";")} if sel else dict(LEVELS)
+    )
     results: dict[str, dict] = {}
-    for master in LEVELS:
+    for master in levels:
         best = None
         for r in range(repeats):
             out = subprocess.run(
@@ -130,28 +136,29 @@ def main() -> None:
     clusters = {r["n_clusters"] for r in results.values()}
     assert len(clusters) == 1, f"output mismatch across masters: {results}"
 
-    lc2 = results["local-cluster[2,4,8192]"]
-    lc8 = results["local-cluster[8,4,8192]"]
-    l8 = results["local[8]"]
-    eff = (lc8["docs_per_sec"] / lc2["docs_per_sec"]) / 4
     summary = {
         "kind": "local_cluster",
         "n_docs": n_docs,
         "levels": results,
-        "process_boundary_overhead_vs_local8": round(
-            lc2["wall_sec"] / l8["wall_sec"], 3
-        ),
-        "scaling_efficiency_2x4_to_8x4": round(eff, 3),
-        "target": 0.8,
-        "meets_target": eff >= 0.8,
     }
+    lc2 = results.get("local-cluster[2,4,8192]")
+    lc8 = results.get("local-cluster[8,4,8192]")
+    l8 = results.get("local[8]")
+    if lc2 and l8:
+        summary["process_boundary_overhead_vs_local8"] = round(
+            lc2["wall_sec"] / l8["wall_sec"], 3
+        )
+    if lc2 and lc8:
+        eff = (lc8["docs_per_sec"] / lc2["docs_per_sec"]) / 4
+        summary["scaling_efficiency_2x4_to_8x4"] = round(eff, 3)
+        summary["target"] = 0.8
+        summary["meets_target"] = eff >= 0.8
     print(json.dumps(summary))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as f:
         f.write(json.dumps({"ts": time.time(), **summary}) + "\n")
-    with open(
-        os.path.join(REPO, "BENCH", "local_cluster_drill.json"), "w"
-    ) as f:
+    out_name = f"local_cluster_drill_{n_docs}.json" if sel else "local_cluster_drill.json"
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(summary, f, indent=1)
 
 

@@ -89,7 +89,7 @@ def make_corpus(out_dir: str) -> dict:
     texts = [" ".join(f"w{v}" for v in row) for row in toks]
     pd.DataFrame(
         {"doc_id": np.arange(N_DOCS, dtype=np.int64), "text": texts}
-    ).to_parquet(os.path.join(out_dir, "documents.parquet"), index=False)
+    ).to_parquet(os.path.join(out_dir, "documents.parquet"), index=False, row_group_size=65536)
 
     # exact per-pair ground truth (hash-free shingle Jaccard)
     pairs = []
